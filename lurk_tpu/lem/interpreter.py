@@ -150,9 +150,23 @@ class Interpreter:
              pc: int = 0) -> Frame:
         assert len(args) == len(func.input_params)
         hints = Hints()
+        output = self._call_func(func, args, hints, channel)
+        return Frame(input=list(args), output=output, hints=hints, pc=pc)
+
+    def _call_func(self, func: ir.Func, args: Sequence[Ptr], hints: Hints,
+                   channel: Channel) -> List[Ptr]:
+        """Run a Func body, then pad unused slots with None so that slot
+        indices align with circuit synthesis (interpreter.rs:547-581)."""
+        from .slots import SLOT_TYPES
+        init = {st: len(hints.get(st)) for st in SLOT_TYPES}
         bindings: Dict[str, object] = dict(zip(func.input_params, args))
         output = self._run_block(func.body, bindings, hints, channel)
-        return Frame(input=list(args), output=output, hints=hints, pc=pc)
+        for st in SLOT_TYPES:
+            lst = hints.get(st)
+            used = len(lst) - init[st]
+            for _ in range(used, func.slots_count.get(st)):
+                lst.append(None)
+        return output
 
     # -- block execution ---------------------------------------------------
 
@@ -211,12 +225,9 @@ class Interpreter:
         if k == ir.CALL:
             _, outs, func, ins = op
             args = [b[v] for v in ins]
-            sub = Interpreter(store, self.cprocs)
-            # share hint accumulation: inline the callee against the same
-            # hints object (Func::call threads hints through)
-            out = sub._run_block(
-                func.body, dict(zip(func.input_params, args)), hints,
-                channel)
+            # threads the same hints object through the callee, padding its
+            # unused slots (Func::call parity)
+            out = self._call_func(func, args, hints, channel)
             for var, ptr in zip(outs, out):
                 b[var] = ptr
                 hints.bindings[var] = ptr
