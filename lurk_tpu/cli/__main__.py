@@ -1,0 +1,106 @@
+"""Lurk TPU command-line interface.
+
+Parity: /root/reference/src/cli/mod.rs:42-99, 590-683 — subcommands
+`repl`, `load [--prove]`, `verify <proof-key>`, `inspect <proof-key>`,
+`public-params`, with `--rc`, `--limit`, `--field` flags
+(defaults mirror the reference: rc=10, limit=10^8).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+from ..fields import FIELDS
+from ..store.core import Store
+
+
+def make_repl(args):
+    from .repl import Repl
+    store = Store(FIELDS[args.field])
+    return Repl(store, rc=args.rc, limit=args.limit)
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="lurk_tpu", description="Lurk TPU-native framework")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    def common(p):
+        p.add_argument("--rc", type=int, default=10,
+                       help="reduction count (frames per fold step)")
+        p.add_argument("--limit", type=int, default=100_000_000,
+                       help="max evaluation iterations")
+        p.add_argument("--field", default="bn256", choices=list(FIELDS),
+                       help="Lurk field")
+
+    p_repl = sub.add_parser("repl", help="interactive REPL")
+    common(p_repl)
+    p_repl.add_argument("--load", type=Path, default=None,
+                        help="lurk file to load before the loop")
+
+    p_load = sub.add_parser("load", help="load a lurk file")
+    common(p_load)
+    p_load.add_argument("file", type=Path)
+    p_load.add_argument("--prove", action="store_true",
+                        help="prove the last evaluation")
+
+    p_verify = sub.add_parser("verify", help="verify a cached proof")
+    common(p_verify)
+    p_verify.add_argument("proof_key")
+
+    p_inspect = sub.add_parser("inspect", help="inspect a cached proof")
+    common(p_inspect)
+    p_inspect.add_argument("proof_key")
+
+    p_pp = sub.add_parser("public-params",
+                          help="manage the public parameter cache")
+    p_pp.add_argument("action", choices=["list", "clean"])
+
+    args = parser.parse_args(argv)
+
+    if args.command == "repl":
+        repl = make_repl(args)
+        if args.load is not None:
+            repl.load_file(args.load)
+        repl.start()
+        return 0
+    if args.command == "load":
+        repl = make_repl(args)
+        repl.load_file(args.file)
+        if args.prove:
+            repl.prove_last_frames()
+        return 0
+    if args.command == "verify":
+        repl = make_repl(args)
+        return 0 if repl.verify_proof_key(args.proof_key) else 1
+    if args.command == "inspect":
+        from ..store.core import Store as _S
+        repl = make_repl(args)
+        from ..parser import read_with_default_state
+        from .repl import ReplError
+        try:
+            repl._meta_inspect(
+                repl.store.list([repl.store.intern_string(
+                    args.proof_key)]))
+        except ReplError as e:
+            print(f"Error: {e}")
+            return 1
+        return 0
+    if args.command == "public-params":
+        from ..proof.params_cache import cache_dir
+        d = cache_dir()
+        if args.action == "list":
+            for f in sorted(d.iterdir()):
+                print(f.name)
+        else:
+            for f in d.iterdir():
+                f.unlink()
+            print("public params cache cleaned")
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

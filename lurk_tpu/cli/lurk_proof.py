@@ -1,0 +1,196 @@
+"""Proof persistence: LurkProof / LurkProofMeta / Commitment files.
+
+Parity: /root/reference/src/cli/lurk_proof.rs:30-80, field_data.rs,
+commitment.rs, paths.rs — proofs and commitments are persisted under the
+cache dir keyed by proof key `{backend}_{field}_{rc}_{claim_hash}`
+(repl/mod.rs:297-300).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+from ..curves.weierstrass import Affine
+from ..fields import FieldSpec
+from ..proof.nova import (
+    FoldingProof, R1CSInstance, RelaxedWitness,
+)
+from ..store.core import Store, ZPtr
+from ..store.zdag import ZDag
+
+
+def proofs_dir() -> Path:
+    base = os.environ.get("LURK_TPU_CACHE",
+                          os.path.join(os.path.expanduser("~"),
+                                       ".lurk_tpu"))
+    d = Path(base) / "proofs"
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def commits_dir() -> Path:
+    base = os.environ.get("LURK_TPU_CACHE",
+                          os.path.join(os.path.expanduser("~"),
+                                       ".lurk_tpu"))
+    d = Path(base) / "commits"
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def _pt(p: Affine):
+    return None if p is None else [f"{p[0]:x}", f"{p[1]:x}"]
+
+
+def _un_pt(v) -> Affine:
+    return None if v is None else (int(v[0], 16), int(v[1], 16))
+
+
+def proof_to_json(proof: FoldingProof) -> dict:
+    return {
+        "steps": [
+            {"comm_w": _pt(inst.comm_w),
+             "x": [f"{v:x}" for v in inst.x],
+             "comm_t": _pt(comm_t)}
+            for inst, comm_t in proof.steps
+        ],
+        "final_w": [f"{v:x}" for v in proof.final_witness.w],
+        "final_e": [f"{v:x}" for v in proof.final_witness.e],
+        "z0": [f"{v:x}" for v in proof.z0],
+        "zi": [f"{v:x}" for v in proof.zi],
+    }
+
+
+def proof_from_json(d: dict) -> FoldingProof:
+    steps = [
+        (R1CSInstance(_un_pt(s["comm_w"]),
+                      [int(v, 16) for v in s["x"]]),
+         _un_pt(s["comm_t"]))
+        for s in d["steps"]
+    ]
+    wit = RelaxedWitness([int(v, 16) for v in d["final_w"]],
+                         [int(v, 16) for v in d["final_e"]])
+    return FoldingProof(steps, wit,
+                        [int(v, 16) for v in d["z0"]],
+                        [int(v, 16) for v in d["zi"]])
+
+
+@dataclasses.dataclass
+class LurkProof:
+    """Persisted proof + public IO + rc (lurk_proof.rs parity)."""
+
+    proof: FoldingProof
+    rc: int
+    field: str
+    backend: str = "nova-fold"
+
+    def persist(self, proof_key: str) -> Path:
+        path = proofs_dir() / f"{proof_key}.proof.json"
+        path.write_text(json.dumps({
+            "backend": self.backend,
+            "field": self.field,
+            "rc": self.rc,
+            "proof": proof_to_json(self.proof),
+        }))
+        return path
+
+    @staticmethod
+    def load(proof_key: str) -> Optional["LurkProof"]:
+        path = proofs_dir() / f"{proof_key}.proof.json"
+        if not path.exists():
+            return None
+        d = json.loads(path.read_text())
+        return LurkProof(proof_from_json(d["proof"]), d["rc"], d["field"],
+                         d["backend"])
+
+    @staticmethod
+    def is_cached(proof_key: str) -> bool:
+        return (proofs_dir() / f"{proof_key}.proof.json").exists()
+
+
+@dataclasses.dataclass
+class LurkProofMeta:
+    """Iterations + IO ZPtrs + ZDag (lurk_proof.rs LurkProofMeta)."""
+
+    iterations: int
+    expr_io: Tuple[ZPtr, ZPtr]
+    env_io: Tuple[ZPtr, ZPtr]
+    cont_io: Tuple[ZPtr, ZPtr]
+    z_dag: ZDag
+
+    def persist(self, proof_key: str) -> Path:
+        path = proofs_dir() / f"{proof_key}.meta.json"
+
+        def z(x: ZPtr):
+            return {"tag": x.tag, "digest": f"{x.digest:x}"}
+
+        path.write_text(json.dumps({
+            "iterations": self.iterations,
+            "expr_io": [z(self.expr_io[0]), z(self.expr_io[1])],
+            "env_io": [z(self.env_io[0]), z(self.env_io[1])],
+            "cont_io": [z(self.cont_io[0]), z(self.cont_io[1])],
+            "z_dag": self.z_dag.to_json(),
+        }))
+        return path
+
+    @staticmethod
+    def load(proof_key: str) -> Optional["LurkProofMeta"]:
+        path = proofs_dir() / f"{proof_key}.meta.json"
+        if not path.exists():
+            return None
+        d = json.loads(path.read_text())
+
+        def z(x) -> ZPtr:
+            return ZPtr(x["tag"], int(x["digest"], 16))
+
+        return LurkProofMeta(
+            d["iterations"],
+            (z(d["expr_io"][0]), z(d["expr_io"][1])),
+            (z(d["env_io"][0]), z(d["env_io"][1])),
+            (z(d["cont_io"][0]), z(d["cont_io"][1])),
+            ZDag.from_json(d["z_dag"]),
+        )
+
+
+@dataclasses.dataclass
+class Commitment:
+    """Persisted commitment opening (cli/commitment.rs parity)."""
+
+    digest: int
+    secret: int
+    payload_z: ZPtr
+    z_dag: ZDag
+
+    @staticmethod
+    def new(secret: int, payload, store: Store) -> "Commitment":
+        z_dag = ZDag()
+        zpay = z_dag.populate_with(payload, store)
+        digest, _ = store.hide_and_return_z_payload(secret, payload)
+        return Commitment(digest, secret, zpay, z_dag)
+
+    def persist(self) -> Path:
+        path = commits_dir() / f"{self.digest:064x}.json"
+        path.write_text(json.dumps({
+            "digest": f"{self.digest:x}",
+            "secret": f"{self.secret:x}",
+            "payload": {"tag": self.payload_z.tag,
+                        "digest": f"{self.payload_z.digest:x}"},
+            "z_dag": self.z_dag.to_json(),
+        }))
+        return path
+
+    @staticmethod
+    def load(digest: int, store: Store) -> bool:
+        """Load a persisted commitment into the store; True on success."""
+        path = commits_dir() / f"{digest:064x}.json"
+        if not path.exists():
+            return False
+        d = json.loads(path.read_text())
+        z_dag = ZDag.from_json(d["z_dag"])
+        zpay = ZPtr(d["payload"]["tag"], int(d["payload"]["digest"], 16))
+        payload = z_dag.populate_store(zpay, store)
+        store.add_comm(int(d["digest"], 16), int(d["secret"], 16), payload)
+        return True

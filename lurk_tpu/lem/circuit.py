@@ -451,6 +451,32 @@ class Synthesizer:
             raise ValueError(f"cannot synthesize op {k}")
 
 
+def synthesize_frame_with_inputs(
+        cs: ConstraintSystem, func: ir.Func, store: Store, frame: Frame,
+        inputs: List[AllocatedPtr],
+        cproc_synthesizers: Optional[Dict] = None
+) -> List[AllocatedPtr]:
+    """Synthesize one frame against pre-allocated input pointers; returns
+    the output pointers. Used by MultiFrame chaining (the output of frame
+    i IS the input of frame i+1 — shared allocations,
+    multiframe.rs:596-712)."""
+    slots: Dict[str, List[Slot]] = {}
+    for st in SLOT_TYPES:
+        datas = frame.hints.get(st)
+        expected = func.slots_count.get(st)
+        assert len(datas) == expected, \
+            f"hints for {st}: {len(datas)} != {expected} slots"
+        slots[st] = [allocate_slot(cs, d, st, store) for d in datas]
+    ctx = SynthesisCtx(
+        cs=cs, store=store, slots=slots, blank=frame.blank,
+        hint_bindings=frame.hints.bindings,
+        cproc_synthesizers=cproc_synthesizers or {},
+    )
+    synth = Synthesizer(ctx)
+    return synth.synthesize_func(
+        func, inputs, Bool.true(), SlotCounters(), frame.output)
+
+
 def synthesize_frame(cs: ConstraintSystem, func: ir.Func, store: Store,
                      frame: Frame,
                      cproc_synthesizers: Optional[Dict] = None,
@@ -471,20 +497,6 @@ def synthesize_frame(cs: ConstraintSystem, func: ir.Func, store: Store,
                                        alloc_input_num(cs, z.digest)))
         else:
             inputs.append(alloc_ptr(cs, z.tag, z.digest))
-    # allocate slots
-    slots: Dict[str, List[Slot]] = {}
-    for st in SLOT_TYPES:
-        datas = frame.hints.get(st)
-        expected = func.slots_count.get(st)
-        assert len(datas) == expected, \
-            f"hints for {st}: {len(datas)} != {expected} slots"
-        slots[st] = [allocate_slot(cs, d, st, store) for d in datas]
-    ctx = SynthesisCtx(
-        cs=cs, store=store, slots=slots, blank=frame.blank,
-        hint_bindings=frame.hints.bindings,
-        cproc_synthesizers=cproc_synthesizers or {},
-    )
-    synth = Synthesizer(ctx)
-    outputs = synth.synthesize_func(
-        func, inputs, Bool.true(), SlotCounters(), frame.output)
+    outputs = synthesize_frame_with_inputs(cs, func, store, frame, inputs,
+                                           cproc_synthesizers)
     return inputs, outputs

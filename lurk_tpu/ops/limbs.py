@@ -5,14 +5,18 @@ Design (TPU-first, not a port):
   - Canonical array layout is ``[..., N_LIMBS, B]``: the limb axis is
     second-to-last (maps to TPU sublanes), the batch axis is last (maps to
     the 128-wide vector lanes). All ops broadcast over leading dims.
-  - Multiplication is Montgomery (R = 2^256) via product-scanning with
+  - Internally every op unstacks the limb axis into a Python list of
+    ``[..., B]`` registers and runs FULLY UNROLLED straight-line code:
+    no scatter/gather, no dynamic slicing — XLA sees a pure vector
+    dataflow graph it can keep in registers and fuse end to end.
+  - Multiplication is Montgomery (R = 2^256) product scanning with
     carry-safe 16-bit piece accumulation in uint32 columns: every partial
     product is split lo16/hi16 so column sums stay far below 2^32.
-  - All control flow is static: fixed 16-step carry chains, no
-    data-dependent branches — XLA traces one straight-line vector program.
+  - ``mont_dot`` fuses k products into ONE Montgomery reduction — the
+    Poseidon MDS matvec and EC formulas lean on it.
 
-Bit-exactness reference: lurk_tpu.fields (python ints). The reference system
-performs this arithmetic in the Rust ``ff``/``pasta_curves`` crates
+Bit-exactness reference: lurk_tpu.fields (python ints). The reference
+system performs this arithmetic in the Rust ``ff``/``pasta_curves`` crates
 (/root/reference/src/field.rs); here it is re-designed for the TPU VPU.
 """
 
@@ -20,7 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import lru_cache
-from typing import Sequence
+from typing import List, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -31,6 +35,15 @@ N_LIMBS = 16
 LIMB_BITS = 16
 LIMB_MASK = (1 << LIMB_BITS) - 1
 R_BITS = N_LIMBS * LIMB_BITS  # 256
+
+# A k-term Montgomery dot is sound iff T = sum of k products < R*p
+# (REDC output < 2p needs T < R*p), i.e. k <= floor(R/p): 3 for the pasta
+# fields (p ~ 2^254), 5 for BN254 (r ~ 2^253.6). mont_dot chunks to this.
+# uint32 column capacity is far larger (k*32*2^16 < 2^32 => k <= ~2000).
+
+
+def max_dot_terms(f: "LimbField") -> int:
+    return ((1 << R_BITS) - 1) // f.modulus
 
 
 def _int_to_limbs(v: int) -> np.ndarray:
@@ -45,7 +58,6 @@ class LimbField:
     """Montgomery-form limb parameters for one prime field."""
 
     spec: FieldSpec
-    # numpy constants (hashable wrapper not needed; frozen dataclass by id)
     p_limbs: np.ndarray        # [N_LIMBS]
     n0inv: int                 # -p^{-1} mod 2^16
     r2: int                    # R^2 mod p
@@ -94,124 +106,204 @@ def limb_field(spec: FieldSpec) -> LimbField:
 
 
 # ---------------------------------------------------------------------------
-# jnp ops. All arrays uint32 with limb axis at -2.
+# list-based core: limbs as Python lists of [..., B] uint32 arrays
+# ---------------------------------------------------------------------------
+
+Limbs = List  # 16 arrays
+
+
+def unstack(a) -> Limbs:
+    return [a[..., i, :] for i in range(N_LIMBS)]
+
+
+def stack(ls: Limbs):
+    return jnp.stack(ls, axis=-2)
+
+
+def _bc(ls: Limbs, like: Limbs) -> Limbs:
+    """Broadcast limb list against another's shapes (cheap, jnp handles)."""
+    return ls
+
+
+def _p_list(f: LimbField) -> List[int]:
+    return [int(x) for x in f.p_limbs]
+
+
+def _carry_list(sums: Limbs) -> Limbs:
+    """Resolve limbwise sums (< 2^32) into 16-bit limbs; drops the final
+    carry (callers guarantee totals < 2^256)."""
+    out = []
+    carry = None
+    for i in range(N_LIMBS):
+        v = sums[i] if carry is None else sums[i] + carry
+        out.append(v & LIMB_MASK)
+        carry = v >> LIMB_BITS
+    return out
+
+
+def _sub_list(a: Limbs, b: Limbs) -> Tuple[Limbs, object]:
+    """a - b with borrow chain; returns (diff mod 2^256, borrow_out)."""
+    out = []
+    borrow = None
+    for i in range(N_LIMBS):
+        t = a[i] + (1 << LIMB_BITS) - b[i]
+        if borrow is not None:
+            t = t - borrow
+        out.append(t & LIMB_MASK)
+        borrow = 1 - (t >> LIMB_BITS)
+    return out, borrow
+
+
+def _sub_const_list(a: Limbs, c: List[int]) -> Tuple[Limbs, object]:
+    out = []
+    borrow = None
+    for i in range(N_LIMBS):
+        t = a[i] + ((1 << LIMB_BITS) - c[i])
+        if borrow is not None:
+            t = t - borrow
+        out.append(t & LIMB_MASK)
+        borrow = 1 - (t >> LIMB_BITS)
+    return out, borrow
+
+
+def _cond_sub_p_list(f: LimbField, r: Limbs) -> Limbs:
+    diff, borrow = _sub_const_list(r, _p_list(f))
+    keep = borrow != 0  # borrow==1 -> r < p -> keep r
+    return [jnp.where(keep, r[i], diff[i]) for i in range(N_LIMBS)]
+
+
+def add_list(f: LimbField, a: Limbs, b: Limbs) -> Limbs:
+    s = [a[i] + b[i] for i in range(N_LIMBS)]
+    return _cond_sub_p_list(f, _carry_list(s))
+
+
+def add_const_list(f: LimbField, a: Limbs, c: List[int]) -> Limbs:
+    s = [a[i] + c[i] for i in range(N_LIMBS)]
+    return _cond_sub_p_list(f, _carry_list(s))
+
+
+def sub_list(f: LimbField, a: Limbs, b: Limbs) -> Limbs:
+    diff, borrow = _sub_list(a, b)
+    p = _p_list(f)
+    readd = _carry_list([diff[i] + p[i] for i in range(N_LIMBS)])
+    take_readd = borrow != 0
+    return [jnp.where(take_readd, readd[i], diff[i])
+            for i in range(N_LIMBS)]
+
+
+def neg_list(f: LimbField, a: Limbs) -> Limbs:
+    p = _p_list(f)
+    diff, _ = _sub_list([jnp.full_like(a[0], c) for c in p], a)
+    is_zero = a[0]
+    for i in range(1, N_LIMBS):
+        is_zero = is_zero | a[i]
+    zero_mask = is_zero == 0
+    return [jnp.where(zero_mask, a[i], diff[i]) for i in range(N_LIMBS)]
+
+
+def _accumulate_product(cols: List, a: Limbs, b: Limbs) -> None:
+    """cols[k] += sum_{i+j=k} a_i*b_j split into lo/hi 16-bit pieces.
+    cols has 2*N_LIMBS+1 entries (ints 0 or arrays)."""
+    for i in range(N_LIMBS):
+        ai = a[i]
+        for j in range(N_LIMBS):
+            prod = ai * b[j]          # exact in uint32 (16x16-bit)
+            lo = prod & LIMB_MASK
+            hi = prod >> LIMB_BITS
+            k = i + j
+            cols[k] = lo if cols[k] is None else cols[k] + lo
+            cols[k + 1] = hi if cols[k + 1] is None else cols[k + 1] + hi
+
+
+def _mont_reduce(f: LimbField, cols: List) -> Limbs:
+    """Montgomery reduction of product columns (< 2^26 each) to canonical
+    limbs < p. 16 unrolled iterations."""
+    p = _p_list(f)
+    zeros = None
+    for k in range(2 * N_LIMBS + 1):
+        if cols[k] is None:
+            if zeros is None:
+                for c in cols:
+                    if c is not None:
+                        zeros = jnp.zeros_like(c)
+                        break
+            cols[k] = zeros
+    for i in range(N_LIMBS):
+        m = (cols[i] * f.n0inv) & LIMB_MASK
+        for j in range(N_LIMBS):
+            prod = m * p[j]
+            cols[i + j] = cols[i + j] + (prod & LIMB_MASK)
+            cols[i + j + 1] = cols[i + j + 1] + (prod >> LIMB_BITS)
+        cols[i + 1] = cols[i + 1] + (cols[i] >> LIMB_BITS)
+    out = _carry_list(cols[N_LIMBS:2 * N_LIMBS])
+    return _cond_sub_p_list(f, out)
+
+
+def mont_mul_list(f: LimbField, a: Limbs, b: Limbs) -> Limbs:
+    cols: List = [None] * (2 * N_LIMBS + 1)
+    _accumulate_product(cols, a, b)
+    return _mont_reduce(f, cols)
+
+
+def mont_dot_list(f: LimbField, pairs: Sequence[Tuple[Limbs, Limbs]]
+                  ) -> Limbs:
+    """sum_k a_k*b_k*R^{-1} mod p, chunked so each Montgomery reduction
+    stays within the T < R*p soundness bound."""
+    assert pairs
+    kmax = max_dot_terms(f)
+    acc: Limbs = None
+    for start in range(0, len(pairs), kmax):
+        cols: List = [None] * (2 * N_LIMBS + 1)
+        for a, b in pairs[start:start + kmax]:
+            _accumulate_product(cols, a, b)
+        part = _mont_reduce(f, cols)
+        acc = part if acc is None else add_list(f, acc, part)
+    return acc
+
+
+def mont_sqr_list(f: LimbField, a: Limbs) -> Limbs:
+    return mont_mul_list(f, a, a)
+
+
+# ---------------------------------------------------------------------------
+# array-layout wrappers ([..., N_LIMBS, B]); API-compatible with callers
 # ---------------------------------------------------------------------------
 
 
-def _p_col(f: LimbField, i: int) -> int:
-    return int(f.p_limbs[i])
+def _broadcast_pair(a, b):
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    return jnp.broadcast_to(a, shape), jnp.broadcast_to(b, shape)
 
 
 def add_mod(f: LimbField, a, b):
-    """(a + b) mod p, inputs canonical (< p)."""
-    s = a + b  # limbwise, <= 2^17 per limb
-    s = _carry_propagate(s)
-    return _cond_sub_p(f, s)
+    a, b = _broadcast_pair(a, b)
+    return stack(add_list(f, unstack(a), unstack(b)))
 
 
 def sub_mod(f: LimbField, a, b):
-    """(a - b) mod p, inputs canonical."""
-    diff, borrow = _sub_limbs(a, b)
-    added = _carry_propagate(diff + _p_broadcast(f, a))
-    return jnp.where((borrow != 0)[..., None, :], added, diff)
+    a, b = _broadcast_pair(a, b)
+    return stack(sub_list(f, unstack(a), unstack(b)))
 
 
 def neg_mod(f: LimbField, a):
-    """(-a) mod p for canonical a (maps 0 -> 0)."""
-    p = _p_broadcast(f, a)
-    diff, _ = _sub_limbs(p, a)
-    is_zero = _is_zero(a)
-    return jnp.where(is_zero, a, diff)
-
-
-def _p_broadcast(f: LimbField, like):
-    del like  # broadcasting against [..., N_LIMBS, B] only needs [N_LIMBS, 1]
-    return jnp.asarray(f.p_limbs, dtype=jnp.uint32).reshape((N_LIMBS, 1))
-
-
-def _is_zero(a):
-    return (jnp.max(a, axis=-2, keepdims=True) == 0)
-
-
-def _carry_propagate(s):
-    """Resolve limbwise sums (< 2^32) into 16-bit limbs; drops carry-out of
-    the top limb (callers guarantee totals < 2^256)."""
-    limbs = []
-    carry = jnp.zeros_like(s[..., 0, :])
-    for i in range(N_LIMBS):
-        v = s[..., i, :] + carry
-        limbs.append(v & LIMB_MASK)
-        carry = v >> LIMB_BITS
-    return jnp.stack(limbs, axis=-2)
-
-
-def _sub_limbs(a, b):
-    """a - b with borrow chain; returns (diff mod 2^256, borrow_out)."""
-    limbs = []
-    borrow = jnp.zeros_like(a[..., 0, :])
-    for i in range(N_LIMBS):
-        t = a[..., i, :] + (1 << LIMB_BITS) - b[..., i, :] - borrow
-        limbs.append(t & LIMB_MASK)
-        borrow = 1 - (t >> LIMB_BITS)
-    return jnp.stack(limbs, axis=-2), borrow
-
-
-def _cond_sub_p(f: LimbField, r):
-    p = _p_broadcast(f, r)
-    diff, borrow = _sub_limbs(r, p)
-    return jnp.where((borrow == 0)[..., None, :], diff, r)
+    return stack(neg_list(f, unstack(a)))
 
 
 def mont_mul(f: LimbField, a, b):
-    """Montgomery product a * b * R^{-1} mod p.
-
-    Inputs canonical-or-Montgomery (< p); output < p. Product scanning with
-    lo/hi 16-bit piece accumulation; 16 reduction iterations, unrolled.
-    """
-    out_shape = jnp.broadcast_shapes(a.shape, b.shape)
-    cols = jnp.zeros(out_shape[:-2] + (2 * N_LIMBS + 1, out_shape[-1]),
-                     dtype=jnp.uint32)
-    # ---- full product columns ----
-    for i in range(N_LIMBS):
-        prod = a[..., i:i + 1, :] * b  # [..., N_LIMBS, B], exact in uint32
-        lo = prod & LIMB_MASK
-        hi = prod >> LIMB_BITS
-        cols = cols.at[..., i:i + N_LIMBS, :].add(lo)
-        cols = cols.at[..., i + 1:i + 1 + N_LIMBS, :].add(hi)
-    # ---- Montgomery reduction, 16 iterations ----
-    p_arr = jnp.asarray(f.p_limbs, dtype=jnp.uint32).reshape((N_LIMBS, 1))
-    for i in range(N_LIMBS):
-        m = (cols[..., i, :] * f.n0inv) & LIMB_MASK  # [..., B]
-        mp = m[..., None, :] * p_arr                 # [..., N_LIMBS, B]
-        lo = mp & LIMB_MASK
-        hi = mp >> LIMB_BITS
-        cols = cols.at[..., i:i + N_LIMBS, :].add(lo)
-        cols = cols.at[..., i + 1:i + 1 + N_LIMBS, :].add(hi)
-        # col i is now ≡ 0 mod 2^16; push its carry into col i+1
-        carry = cols[..., i, :] >> LIMB_BITS
-        cols = cols.at[..., i + 1, :].add(carry)
-    # ---- final carry propagation over cols[16..33) ----
-    limbs = []
-    carry = jnp.zeros_like(cols[..., 0, :])
-    for k in range(N_LIMBS):
-        v = cols[..., N_LIMBS + k, :] + carry
-        limbs.append(v & LIMB_MASK)
-        carry = v >> LIMB_BITS
-    # top column (index 32) + carry must vanish for T < p*R; result < 2p
-    r = jnp.stack(limbs, axis=-2)
-    return _cond_sub_p(f, r)
+    a, b = _broadcast_pair(a, b)
+    return stack(mont_mul_list(f, unstack(a), unstack(b)))
 
 
 def to_mont(f: LimbField, a):
     r2 = jnp.asarray(_int_to_limbs(f.r2), dtype=jnp.uint32).reshape(
         (N_LIMBS, 1))
-    return mont_mul(f, a, r2)
+    return mont_mul(f, a, jnp.broadcast_to(r2, a.shape))
 
 
 def from_mont(f: LimbField, a):
     one = np.zeros((N_LIMBS, 1), dtype=np.uint32)
     one[0, 0] = 1
-    return mont_mul(f, a, jnp.asarray(one))
+    return mont_mul(f, a, jnp.broadcast_to(jnp.asarray(one), a.shape))
 
 
 def mont_constant(f: LimbField, value: int) -> np.ndarray:

@@ -1,15 +1,19 @@
 """Batched Poseidon for TPU: jnp/XLA program over limb arrays.
 
 The sponge is evaluated for B preimages at once; the state is laid out
-``[width, N_LIMBS, B]`` so the batch rides the 128-wide vector lanes and the
-limb axis rides sublanes. All field muls are Montgomery-domain; round
+``[width, N_LIMBS, B]`` so the batch rides the 128-wide vector lanes and
+the limb axis rides sublanes. All field muls are Montgomery-domain; round
 constants and the MDS matrix are pre-converted host-side.
 
-Trace-size discipline: the S-box layer and the MDS matvec are each expressed
-as ONE broadcasted Montgomery multiply over a stacked batch (width or
-width^2 lanes folded into leading dims), and rounds run under
-``lax.fori_loop`` with dynamically-sliced round constants — the compiled
-program is small and round-count independent.
+Performance structure:
+  - per-round bodies run fully UNROLLED straight-line limb code (Python
+    lists of vector registers — no scatters, no dynamic slices inside the
+    field ops; see lurk_tpu.ops.limbs);
+  - rounds run under ``lax.fori_loop`` with dynamically-sliced round
+    constants, so the compiled program is small and round-count
+    independent;
+  - the MDS matvec uses ``mont_dot`` (one Montgomery reduction per
+    accumulation chunk instead of one per product).
 
 This replaces the reference's rayon-parallel host hashing
 (/root/reference/src/lem/store_core.rs:256-269) with a single device batch.
@@ -50,40 +54,77 @@ def _kernel_constants(field: FieldSpec, arity: int):
     return spec, f, rc_mont, mds_mont, tag_mont
 
 
-def _sbox_all(f: L.LimbField, st):
-    x2 = L.mont_mul(f, st, st)
-    x4 = L.mont_mul(f, x2, x2)
-    return L.mont_mul(f, x4, st)
+def _sbox(f, x):
+    """x^5 on a limb list (limbs may carry leading dims, e.g. [t, B])."""
+    x2 = L.mont_mul_list(f, x, x)
+    x4 = L.mont_mul_list(f, x2, x2)
+    return L.mont_mul_list(f, x4, x)
 
 
-def _mds_matvec(f: L.LimbField, mds, st):
-    # st: [t, N_LIMBS, B]; mds: [t, t, N_LIMBS, 1]
-    prods = L.mont_mul(f, mds, st[None, :, :, :])  # [t_out, t_in, N, B]
-    t = st.shape[0]
-    acc = prods[:, 0]
-    for j in range(1, t):
-        acc = L.add_mod(f, acc, prods[:, j])
+def _mds_mul(f: L.LimbField, mds_np: np.ndarray, lanes):
+    """MDS matvec on stacked lanes.
+
+    lanes: limb list, each [t, B]. mds_np: [t, t, N_LIMBS, 1] Montgomery
+    constants. Products for all (t_out, t_in) pairs are computed with one
+    broadcast multiply per limb pair; the sum over t_in happens on the
+    lo/hi pieces (pre-reduction), chunked to the T < R*p soundness bound;
+    one Montgomery reduction per chunk for ALL t outputs at once.
+    """
+    t = mds_np.shape[0]
+    kmax = L.max_dot_terms(f)
+    acc = None
+    for start in range(0, t, kmax):
+        end = min(start + kmax, t)
+        cols = [None] * (2 * L.N_LIMBS + 1)
+        for k in range(L.N_LIMBS):
+            # constants limb k for this input chunk: [t_out, chunk]
+            m_k = jnp.asarray(mds_np[:, start:end, k, 0])
+            for l_ in range(L.N_LIMBS):
+                # [t_out, chunk, B] product; uint32-exact (16x16 bits)
+                prod = m_k[:, :, None] * lanes[l_][None, start:end, :]
+                lo = jnp.sum(prod & L.LIMB_MASK, axis=1)
+                hi = jnp.sum(prod >> L.LIMB_BITS, axis=1)
+                kl = k + l_
+                cols[kl] = lo if cols[kl] is None else cols[kl] + lo
+                cols[kl + 1] = (hi if cols[kl + 1] is None
+                                else cols[kl + 1] + hi)
+        part = L._mont_reduce(f, cols)  # limb list of [t_out, B]
+        acc = part if acc is None else L.add_list(f, acc, part)
     return acc
 
 
-def _poseidon_state_loop(spec: PoseidonSpec, f: L.LimbField, rc, mds, st):
+def _poseidon_state_loop(spec: PoseidonSpec, f: L.LimbField, rc, mds_np,
+                         st):
+    """st: [N_LIMBS, t, B] as limb list of [t, B] -> permuted.
+    rc: [n_rounds, t, N_LIMBS, 1]."""
+    t = spec.width
     half = spec.full_rounds // 2
     rp = spec.partial_rounds
 
-    def add_rc(st, r):
+    def unpack(st):
+        return [st[k] for k in range(L.N_LIMBS)]
+
+    def pack(lanes):
+        return jnp.stack(lanes, axis=0)
+
+    def add_rc(lanes, r):
         c = jax.lax.dynamic_index_in_dim(rc, r, axis=0, keepdims=False)
-        return L.add_mod(f, st, c)
+        # c: [t, N_LIMBS, 1] -> limb list of [t, 1]
+        return L.add_list(f, lanes, [c[:, k, :] for k in range(L.N_LIMBS)])
 
     def full_round(r, st):
-        st = add_rc(st, r)
-        st = _sbox_all(f, st)
-        return _mds_matvec(f, mds, st)
+        lanes = unpack(st)
+        lanes = add_rc(lanes, r)
+        lanes = _sbox(f, lanes)
+        return pack(_mds_mul(f, mds_np, lanes))
 
     def partial_round(r, st):
-        st = add_rc(st, r)
-        head = _sbox_all(f, st[:1])
-        st = jnp.concatenate([head, st[1:]], axis=0)
-        return _mds_matvec(f, mds, st)
+        lanes = unpack(st)
+        lanes = add_rc(lanes, r)
+        head = _sbox(f, [x[0:1, :] for x in lanes])
+        lanes = [jnp.concatenate([h, x[1:, :]], axis=0)
+                 for h, x in zip(head, lanes)]
+        return pack(_mds_mul(f, mds_np, lanes))
 
     st = jax.lax.fori_loop(0, half, full_round, st)
     st = jax.lax.fori_loop(half, half + rp, partial_round, st)
@@ -99,12 +140,15 @@ def build_hasher(field: FieldSpec, arity: int):
 
     def hasher(preimages):
         rc = jnp.asarray(rc_np)
-        mds = jnp.asarray(mds_np)
         b = preimages.shape[-1]
         tag = jnp.broadcast_to(jnp.asarray(tag_np), (1, L.N_LIMBS, b))
         st = jnp.concatenate([tag, L.to_mont(f, preimages)], axis=0)
-        st = _poseidon_state_loop(spec, f, rc, mds, st)
-        return L.from_mont(f, st[1])
+        # repack [t, N_LIMBS, B] -> [N_LIMBS, t, B] (limb-major for the
+        # list-based core)
+        st = jnp.transpose(st, (1, 0, 2))
+        st = _poseidon_state_loop(spec, f, rc, mds_np, st)
+        # digest = state[1]: [N_LIMBS, B]
+        return L.from_mont(f, st[:, 1, :])
 
     return hasher
 

@@ -1,0 +1,294 @@
+"""Nova-style folding (NIFS) over relaxed R1CS with Pedersen commitments.
+
+Functionality parity target: arecibo's `RecursiveSNARK::{new,prove_step,
+verify}` driven by /root/reference/src/proof/nova.rs:260-373. Round-1
+scope (documented design decision):
+
+  - The PROVER pipeline is the real thing: per step, a strict R1CS
+    instance is folded into a running relaxed accumulator — cross-term
+    T = Az1∘Bz2 + Az2∘Bz1 − u1·Cz2 − Cz1, Pedersen commitments via the
+    device MSM, Fiat-Shamir challenges from the Poseidon transcript.
+    This is the hot loop BASELINE.md measures ("Nova fold steps/s").
+  - The VERIFIER recomputes the fold chain (one RO call + point ops per
+    step) and checks the final relaxed witness directly — i.e. batch
+    R1CS verification by random linear combination, NOT yet the succinct
+    in-circuit verifier. The Nova augmented circuit (in-circuit fold
+    verification on the curve cycle) and Spartan compression are the
+    planned next layers (SURVEY.md §7 steps 5,7).
+
+Relaxed R1CS: Az ∘ Bz = u·(Cz) + E with z = (W, X, u).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from ..curves.weierstrass import Affine, Curve, PALLAS
+from ..r1cs.cs import LC, ConstraintSystem
+from .transcript import Transcript
+
+
+# ---------------------------------------------------------------------------
+# Shape
+# ---------------------------------------------------------------------------
+
+
+class R1CSShape:
+    """Frozen sparse R1CS over one field, z layout = (1|X | W)."""
+
+    def __init__(self, cs: ConstraintSystem):
+        self.p = cs.p
+        self.num_inputs = cs.num_inputs          # includes the leading 1
+        self.num_aux = cs.num_aux
+        self.rows: List[Tuple[LC, LC, LC]] = cs.constraints
+        self.digest = cs.shape_digest()
+
+    @property
+    def num_constraints(self) -> int:
+        return len(self.rows)
+
+    def _ev(self, lc: LC, z: List[int]) -> int:
+        return sum(c * z[v] for v, c in lc.items()) % self.p
+
+    def matvecs(self, z: List[int]) -> Tuple[List[int], List[int],
+                                             List[int]]:
+        p = self.p
+        az, bz, cz = [], [], []
+        for a, b, c in self.rows:
+            az.append(self._ev(a, z))
+            bz.append(self._ev(b, z))
+            cz.append(self._ev(c, z))
+        return az, bz, cz
+
+
+# ---------------------------------------------------------------------------
+# Pedersen commitment key
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class CommitmentKey:
+    curve: Curve
+    gens: List[Affine]
+
+    @staticmethod
+    def setup(curve: Curve, label: bytes, n: int) -> "CommitmentKey":
+        from .params_cache import load_generators
+        return CommitmentKey(curve, load_generators(curve, label, n))
+
+    use_device: bool = False
+
+    def commit(self, vec: Sequence[int]) -> Affine:
+        n = len(vec)
+        assert n <= len(self.gens), "commitment key too small"
+        if self.use_device and n >= 4096:
+            from ..msm.pippenger import msm
+            return msm(self.curve, list(vec), self.gens[:n])
+        return self.curve.pippenger(list(vec), self.gens[:n])
+
+
+# ---------------------------------------------------------------------------
+# Instances / witnesses
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class R1CSInstance:
+    """Strict instance: u = 1, E = 0."""
+
+    comm_w: Affine
+    x: List[int]
+
+
+@dataclasses.dataclass
+class RelaxedInstance:
+    comm_w: Affine
+    comm_e: Affine
+    x: List[int]
+    u: int
+
+    @staticmethod
+    def default(shape: R1CSShape) -> "RelaxedInstance":
+        return RelaxedInstance(None, None, [0] * (shape.num_inputs - 1), 0)
+
+
+@dataclasses.dataclass
+class RelaxedWitness:
+    w: List[int]
+    e: List[int]
+
+    @staticmethod
+    def default(shape: R1CSShape) -> "RelaxedWitness":
+        return RelaxedWitness([0] * shape.num_aux,
+                              [0] * shape.num_constraints)
+
+
+def z_vector(shape: R1CSShape, x: List[int], w: List[int],
+             u: int = 1) -> List[int]:
+    """(u | X | W): the leading public ONE generalizes to u when relaxed."""
+    return [u % shape.p] + [v % shape.p for v in x] + \
+        [v % shape.p for v in w]
+
+
+def check_strict(shape: R1CSShape, x: List[int], w: List[int]) -> bool:
+    az, bz, cz = shape.matvecs(z_vector(shape, x, w, 1))
+    p = shape.p
+    return all((a * b - c) % p == 0 for a, b, c in zip(az, bz, cz))
+
+
+def check_relaxed(shape: R1CSShape, inst: RelaxedInstance,
+                  wit: RelaxedWitness) -> bool:
+    p = shape.p
+    az, bz, cz = shape.matvecs(z_vector(shape, inst.x, wit.w, inst.u))
+    return all((a * b - (inst.u * c + e)) % p == 0
+               for a, b, c, e in zip(az, bz, cz, wit.e))
+
+
+# ---------------------------------------------------------------------------
+# NIFS
+# ---------------------------------------------------------------------------
+
+
+def cross_term(shape: R1CSShape, inst1: RelaxedInstance,
+               wit1: RelaxedWitness, x2: List[int], w2: List[int]
+               ) -> List[int]:
+    """T = Az1∘Bz2 + Az2∘Bz1 − u1·Cz2 − Cz1  (u2 = 1 strict)."""
+    p = shape.p
+    z1 = z_vector(shape, inst1.x, wit1.w, inst1.u)
+    z2 = z_vector(shape, x2, w2, 1)
+    az1, bz1, cz1 = shape.matvecs(z1)
+    az2, bz2, cz2 = shape.matvecs(z2)
+    u1 = inst1.u
+    return [
+        (a1 * b2 + a2 * b1 - u1 * c2 - c1) % p
+        for a1, b1, c1, a2, b2, c2 in
+        zip(az1, bz1, cz1, az2, bz2, cz2)
+    ]
+
+
+def _absorb_relaxed(tr: Transcript, inst: RelaxedInstance) -> None:
+    tr.absorb_point(inst.comm_w)
+    tr.absorb_point(inst.comm_e)
+    tr.absorb(inst.u)
+    for v in inst.x:
+        tr.absorb_scalar(v)
+
+
+def _absorb_strict(tr: Transcript, inst: R1CSInstance) -> None:
+    tr.absorb_point(inst.comm_w)
+    for v in inst.x:
+        tr.absorb_scalar(v)
+
+
+def fold_challenge(curve: Curve, shape_digest: str,
+                   acc: RelaxedInstance, new: R1CSInstance,
+                   comm_t: Affine) -> int:
+    tr = Transcript(curve, b"nova.fold")
+    tr.absorb(int(shape_digest[:32], 16))
+    _absorb_relaxed(tr, acc)
+    _absorb_strict(tr, new)
+    tr.absorb_point(comm_t)
+    return tr.squeeze()
+
+
+def fold_instance(curve: Curve, acc: RelaxedInstance, new: R1CSInstance,
+                  comm_t: Affine, r: int, order: int) -> RelaxedInstance:
+    comm_w = curve.add(acc.comm_w, curve.mul(r, new.comm_w))
+    comm_e = curve.add(acc.comm_e, curve.mul(r, comm_t))
+    x = [(a + r * b) % order for a, b in zip(acc.x, new.x)]
+    return RelaxedInstance(comm_w, comm_e, x, (acc.u + r) % order)
+
+
+def fold_witness(p: int, acc: RelaxedWitness, w2: Sequence[int],
+                 t: Sequence[int], r: int) -> RelaxedWitness:
+    w = [(a + r * b) % p for a, b in zip(acc.w, w2)]
+    e = [(a + r * b) % p for a, b in zip(acc.e, t)]
+    return RelaxedWitness(w, e)
+
+
+# ---------------------------------------------------------------------------
+# IVC driver
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class PublicParams:
+    shape: R1CSShape
+    curve: Curve
+    ck: CommitmentKey
+
+    @staticmethod
+    def setup(shape: R1CSShape, curve: Curve = PALLAS) -> "PublicParams":
+        n = max(shape.num_aux, shape.num_constraints)
+        return PublicParams(shape, curve,
+                            CommitmentKey.setup(curve, b"lurk_tpu.ck", n))
+
+
+@dataclasses.dataclass
+class FoldingProof:
+    """Fold chain: per-step strict instances + cross-term commitments,
+    plus the final accumulated witness (uncompressed)."""
+
+    steps: List[Tuple[R1CSInstance, Affine]]   # (instance_i, comm_T_i)
+    final_witness: RelaxedWitness
+    z0: List[int]
+    zi: List[int]
+
+
+class RecursiveSNARK:
+    """Accumulates per-step (x, w) pairs (prove_step parity)."""
+
+    def __init__(self, pp: PublicParams):
+        self.pp = pp
+        self.acc_inst = RelaxedInstance.default(pp.shape)
+        self.acc_wit = RelaxedWitness.default(pp.shape)
+        self.steps: List[Tuple[R1CSInstance, Affine]] = []
+        self.z0: Optional[List[int]] = None
+        self.zi: Optional[List[int]] = None
+
+    def prove_step(self, x: List[int], w: List[int],
+                   check: bool = False) -> None:
+        pp = self.pp
+        shape = pp.shape
+        if check:
+            assert check_strict(shape, x, w), "step witness unsatisfied"
+        comm_w = pp.ck.commit(w)
+        inst = R1CSInstance(comm_w, list(x))
+        t = cross_term(shape, self.acc_inst, self.acc_wit, x, w)
+        comm_t = pp.ck.commit(t)
+        r = fold_challenge(pp.curve, shape.digest, self.acc_inst, inst,
+                           comm_t)
+        self.acc_inst = fold_instance(pp.curve, self.acc_inst, inst,
+                                      comm_t, r, shape.p)
+        self.acc_wit = fold_witness(shape.p, self.acc_wit, w, t, r)
+        self.steps.append((inst, comm_t))
+
+    def finish(self) -> FoldingProof:
+        assert self.z0 is not None and self.zi is not None
+        return FoldingProof(self.steps, self.acc_wit, self.z0, self.zi)
+
+
+def verify(pp: PublicParams, proof: FoldingProof,
+           io_chain_check=None) -> bool:
+    """Recompute the fold chain and check the final relaxed witness.
+
+    `io_chain_check(x_list)` optionally validates the step-to-step IO
+    linkage (e.g. MultiFrame z_out == next z_in)."""
+    shape = pp.shape
+    acc = RelaxedInstance.default(shape)
+    for inst, comm_t in proof.steps:
+        r = fold_challenge(pp.curve, shape.digest, acc, inst, comm_t)
+        acc = fold_instance(pp.curve, acc, inst, comm_t, r, shape.p)
+    if io_chain_check is not None:
+        if not io_chain_check([inst.x for inst, _ in proof.steps]):
+            return False
+    # final relaxed satisfaction
+    if not check_relaxed(shape, acc, proof.final_witness):
+        return False
+    # commitment consistency of the final accumulator
+    if pp.ck.commit(proof.final_witness.w) != acc.comm_w:
+        return False
+    if pp.ck.commit(proof.final_witness.e) != acc.comm_e:
+        return False
+    return True

@@ -1,0 +1,91 @@
+"""Top-level Nova prover: evaluate -> MultiFrames -> fold chain.
+
+Parity: /root/reference/src/proof/mod.rs:131-245 (Prover::prove /
+evaluate_and_prove / prove_from_frames) + nova.rs prove loop. The
+reference pipelines witness generation against folding via a bounded
+channel (nova.rs:297-332); here step witness synthesis happens inline —
+the device-batched witness/MSM pipeline is the next optimization layer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+from ..lem import evaluation as ev
+from ..lem import ir
+from ..lem.eval_step import eval_step
+from ..lem.interpreter import Frame
+from ..r1cs.cs import ConstraintSystem
+from ..store.core import Ptr, Store
+from .multiframe import MultiFrame, io_chain_checker, io_scalars
+from .nova import (
+    FoldingProof, PublicParams, R1CSShape, RecursiveSNARK, verify,
+)
+
+_PP_CACHE: Dict[Tuple[str, int], PublicParams] = {}
+
+
+def public_params(shape: R1CSShape) -> PublicParams:
+    key = (shape.digest, shape.num_aux)
+    pp = _PP_CACHE.get(key)
+    if pp is None:
+        pp = PublicParams.setup(shape)
+        _PP_CACHE[key] = pp
+    return pp
+
+
+@dataclasses.dataclass
+class NovaProver:
+    """IVC prover over the universal Lurk step circuit."""
+
+    rc: int = 10
+    lang: Optional[ev.Lang] = None
+    check_steps: bool = False   # debug: verify each step witness
+
+    def step_func(self) -> ir.Func:
+        if self.lang is not None and len(self.lang):
+            from ..lem.eval_step import make_eval_step
+            return make_eval_step(tuple(self.lang.cproc_specs()), True)
+        return eval_step()
+
+    # -- proving ------------------------------------------------------------
+
+    def evaluate_and_prove(self, store: Store, expr: Ptr, limit: int = 10000
+                           ) -> Tuple[PublicParams, FoldingProof,
+                                      List[Frame]]:
+        lang_setup = None
+        if self.lang is not None and len(self.lang):
+            lang_setup = ev.LangSetup.ivc(self.lang)
+        frames = ev.evaluate(lang_setup, expr, store, limit)
+        pp, proof = self.prove_from_frames(store, frames)
+        return pp, proof, frames
+
+    def prove_from_frames(self, store: Store, frames: List[Frame]
+                          ) -> Tuple[PublicParams, FoldingProof]:
+        assert frames
+        store.hydrate_z_cache()
+        step = self.step_func()
+        mframes = MultiFrame.from_frames(frames, self.rc, step, store,
+                                         self.lang)
+        # shape from the first step (uniform across steps; pinned by tests)
+        x0, w0, cs0 = mframes[0].instance(step, store,
+                                          shape_check=self.check_steps)
+        shape = R1CSShape(cs0)
+        pp = public_params(shape)
+        rs = RecursiveSNARK(pp)
+        rs.z0 = io_scalars(store, mframes[0].frames[0].input)
+        rs.prove_step(x0, w0, check=self.check_steps)
+        for mf in mframes[1:]:
+            x, w, _ = mf.instance(step, store,
+                                  shape_check=self.check_steps)
+            rs.prove_step(x, w, check=self.check_steps)
+        rs.zi = io_scalars(store, mframes[-1].frames[-1].output)
+        return pp, rs.finish()
+
+    # -- verification ---------------------------------------------------------
+
+    @staticmethod
+    def verify(pp: PublicParams, proof: FoldingProof) -> bool:
+        return verify(pp, proof,
+                      io_chain_checker(proof.z0, proof.zi))
