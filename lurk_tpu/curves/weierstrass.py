@@ -17,7 +17,9 @@ import dataclasses
 import hashlib
 from typing import List, Optional, Tuple
 
-from ..fields import FieldSpec, PALLAS_SCALAR, VESTA_SCALAR
+from ..fields import (
+    BN256_SCALAR, FieldSpec, GRUMPKIN_SCALAR, PALLAS_SCALAR, VESTA_SCALAR,
+)
 
 # Affine point: (x, y) or None for infinity
 Affine = Optional[Tuple[int, int]]
@@ -29,6 +31,7 @@ class Curve:
     base: FieldSpec     # coordinate field
     scalar: FieldSpec   # group order field
     b: int = 5
+    gen: Optional[Tuple[int, int]] = None   # None -> (-1, 2) (pasta)
 
     @property
     def p(self) -> int:
@@ -40,6 +43,8 @@ class Curve:
 
     @property
     def generator(self) -> Affine:
+        if self.gen is not None:
+            return self.gen
         return (self.p - 1, 2)
 
     # -- affine group law --------------------------------------------------
@@ -258,3 +263,34 @@ class Curve:
 
 PALLAS = Curve("pallas", base=VESTA_SCALAR, scalar=PALLAS_SCALAR)
 VESTA = Curve("vesta", base=PALLAS_SCALAR, scalar=VESTA_SCALAR)
+
+# BN254 G1: y^2 = x^3 + 3 over Fq (= grumpkin scalar field), group order
+# Fr (= the default Lurk bn256 field). Generator (1, 2).
+BN254_G1 = Curve("bn254-g1", base=GRUMPKIN_SCALAR, scalar=BN256_SCALAR,
+                 b=3, gen=(1, 2))
+
+# Grumpkin: y^2 = x^3 - 17 over Fr, group order Fq (2-cycle with BN254).
+# Generator (1, sqrt(-16)) per aztec's grumpkin spec.
+_GRUMPKIN_B = (-17) % BN256_SCALAR.modulus
+
+
+def _grumpkin_gen() -> Tuple[int, int]:
+    c = Curve("grumpkin-tmp", base=BN256_SCALAR, scalar=GRUMPKIN_SCALAR,
+              b=_GRUMPKIN_B, gen=(0, 0))
+    for x in range(1, 64):
+        pt = c.point_from_x(x, False)
+        if pt is not None:
+            return pt
+    raise RuntimeError("no grumpkin generator found")
+
+
+GRUMPKIN = Curve("grumpkin", base=BN256_SCALAR, scalar=GRUMPKIN_SCALAR,
+                 b=_GRUMPKIN_B, gen=_grumpkin_gen())
+
+# circuit field name -> commitment curve whose group order IS that field
+CURVE_FOR_FIELD = {
+    "pallas": PALLAS,
+    "vesta": VESTA,
+    "bn256": BN254_G1,
+    "grumpkin": GRUMPKIN,
+}

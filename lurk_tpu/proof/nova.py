@@ -24,7 +24,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, List, Optional, Sequence, Tuple
 
-from ..curves.weierstrass import Affine, Curve, PALLAS
+from ..curves.weierstrass import Affine, CURVE_FOR_FIELD, Curve, PALLAS
 from ..r1cs.cs import LC, ConstraintSystem
 from .transcript import Transcript
 
@@ -39,6 +39,7 @@ class R1CSShape:
 
     def __init__(self, cs: ConstraintSystem):
         self.p = cs.p
+        self.field = cs.field
         self.num_inputs = cs.num_inputs          # includes the leading 1
         self.num_aux = cs.num_aux
         self.rows: List[Tuple[LC, LC, LC]] = cs.constraints
@@ -219,10 +220,19 @@ class PublicParams:
     ck: CommitmentKey
 
     @staticmethod
-    def setup(shape: R1CSShape, curve: Curve = PALLAS) -> "PublicParams":
+    def setup(shape: R1CSShape,
+              curve: Optional[Curve] = None) -> "PublicParams":
+        if curve is None:
+            # the commitment curve's group order must equal the circuit
+            # field, else Pedersen folding linearity breaks
+            curve = CURVE_FOR_FIELD[shape.field.name]
+        assert curve.order == shape.p, \
+            f"curve {curve.name} order != circuit field"
         n = max(shape.num_aux, shape.num_constraints)
         return PublicParams(shape, curve,
-                            CommitmentKey.setup(curve, b"lurk_tpu.ck", n))
+                            CommitmentKey.setup(
+                                curve, b"lurk_tpu.ck." + curve.name.encode(),
+                                n))
 
 
 @dataclasses.dataclass
