@@ -51,9 +51,9 @@ def ec_add(curve: Curve, p1: JPoint, p2: JPoint) -> JPoint:
     """Complete projective addition (RCB15 Alg 7 for a=0)."""
     f, b3_np = curve_ctx(curve)
     b3 = jnp.asarray(b3_np)
-    mul = lambda a, b: L.mont_mul(f, a, b)      # noqa: E731
-    add = lambda a, b: L.add_mod(f, a, b)       # noqa: E731
-    sub = lambda a, b: L.sub_mod(f, a, b)       # noqa: E731
+    mul = lambda a, b: L.mont_mul_arr(f, a, b)  # noqa: E731
+    add = lambda a, b: L.add_arr(f, a, b)       # noqa: E731
+    sub = lambda a, b: L.sub_arr(f, a, b)       # noqa: E731
     x1, y1, z1 = p1
     x2, y2, z2 = p2
 
@@ -95,7 +95,7 @@ def ec_add(curve: Curve, p1: JPoint, p2: JPoint) -> JPoint:
 
 def ec_neg(curve: Curve, p: JPoint) -> JPoint:
     f, _ = curve_ctx(curve)
-    return JPoint(p.x, L.neg_mod(f, p.y), p.z)
+    return JPoint(p.x, L.neg_arr(f, p.y), p.z)
 
 
 def ec_select(mask, a: JPoint, b: JPoint) -> JPoint:

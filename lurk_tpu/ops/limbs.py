@@ -266,6 +266,155 @@ def mont_sqr_list(f: LimbField, a: Limbs) -> Limbs:
 
 
 # ---------------------------------------------------------------------------
+# compact stacked-array core ([..., N_LIMBS, B] arrays end to end).
+#
+# ~10x smaller trace than the list core (roll-based product columns, one
+# .at slice-add pair per reduction step) — used inside kernels where
+# compile time matters (Pallas Poseidon, EC/MSM). Same bit-exact results.
+# ---------------------------------------------------------------------------
+
+
+def _carry_arr(s):
+    """[..., N_LIMBS, B] sums < 2^32 -> canonical 16-bit limbs."""
+    limbs = []
+    carry = None
+    for i in range(N_LIMBS):
+        v = s[..., i, :] if carry is None else s[..., i, :] + carry
+        limbs.append(v & LIMB_MASK)
+        carry = v >> LIMB_BITS
+    return jnp.stack(limbs, axis=-2)
+
+
+def _cond_sub_p_arr(f: LimbField, r):
+    p = _p_list(f)
+    borrow = None
+    diffs = []
+    for i in range(N_LIMBS):
+        t = r[..., i, :] + ((1 << LIMB_BITS) - p[i])
+        if borrow is not None:
+            t = t - borrow
+        diffs.append(t & LIMB_MASK)
+        borrow = 1 - (t >> LIMB_BITS)
+    diff = jnp.stack(diffs, axis=-2)
+    return jnp.where((borrow != 0)[..., None, :], r, diff)
+
+
+def add_arr(f: LimbField, a, b):
+    return _cond_sub_p_arr(f, _carry_arr(a + b))
+
+
+def sub_arr(f: LimbField, a, b):
+    borrow = None
+    diffs = []
+    for i in range(N_LIMBS):
+        t = a[..., i, :] + (1 << LIMB_BITS) - b[..., i, :]
+        if borrow is not None:
+            t = t - borrow
+        diffs.append(t & LIMB_MASK)
+        borrow = 1 - (t >> LIMB_BITS)
+    diff = jnp.stack(diffs, axis=-2)
+    p = _p_list(f)
+    # per-limb scalar constants (Pallas kernels can't capture arrays)
+    readd = _carry_arr(jnp.stack(
+        [diff[..., i, :] + p[i] for i in range(N_LIMBS)], axis=-2))
+    return jnp.where((borrow != 0)[..., None, :], readd, diff)
+
+
+def neg_arr(f: LimbField, a):
+    p = _p_list(f)
+    borrow = None
+    diffs = []
+    for i in range(N_LIMBS):
+        t = (p[i] + (1 << LIMB_BITS)) - a[..., i, :]
+        if borrow is not None:
+            t = t - borrow
+        diffs.append(t & LIMB_MASK)
+        borrow = 1 - (t >> LIMB_BITS)
+    diff = jnp.stack(diffs, axis=-2)  # p - a (mod 2^256; p >= a so exact)
+    # OR-fold instead of jnp.max (Mosaic lacks unsigned reductions)
+    acc = a[..., 0, :]
+    for i in range(1, N_LIMBS):
+        acc = acc | a[..., i, :]
+    is_zero = (acc == 0)[..., None, :]
+    return jnp.where(is_zero, a, diff)
+
+
+def _product_cols_arr(a, b, cols=None):
+    """Accumulate product columns of a*b into [..., 2N+1, B] uint32."""
+    prod = a[..., :, None, :] * b[..., None, :, :]   # [..., 16, 16, B]
+    lo = prod & LIMB_MASK
+    hi = prod >> LIMB_BITS
+    padw = 2 * N_LIMBS + 1
+    pad_cfg = [(0, 0)] * (lo.ndim - 2) + [(0, padw - N_LIMBS), (0, 0)]
+    lo_p = jnp.pad(lo, pad_cfg)
+    hi_p = jnp.pad(hi, pad_cfg)
+    acc = cols
+    for i in range(N_LIMBS):
+        lo_i = lo_p[..., i, :, :]
+        if i:  # roll with shift 0 is identity (Mosaic rejects 0-slices)
+            lo_i = jnp.roll(lo_i, i, axis=-2)
+        c = lo_i + jnp.roll(hi_p[..., i, :, :], i + 1, axis=-2)
+        acc = c if acc is None else acc + c
+    return acc
+
+
+def _add_at(cols, start, vals, n):
+    """cols[..., start:start+n, :] += vals via slice+concat (Mosaic has
+    no scatter-add; all parts kept non-empty)."""
+    parts = []
+    if start > 0:
+        parts.append(cols[..., :start, :])
+    parts.append(cols[..., start:start + n, :] + vals)
+    if start + n < cols.shape[-2]:
+        parts.append(cols[..., start + n:, :])
+    return jnp.concatenate(parts, axis=-2) if len(parts) > 1 else parts[0]
+
+
+def _mont_reduce_arr(f: LimbField, cols):
+    p = _p_list(f)
+    for i in range(N_LIMBS):
+        m = (cols[..., i, :] * f.n0inv) & LIMB_MASK
+        mp = jnp.stack([m * p[j] for j in range(N_LIMBS)], axis=-2)
+        lo = mp & LIMB_MASK
+        hi = mp >> LIMB_BITS
+        carry = ((cols[..., i, :] + (m * p[0] & LIMB_MASK))
+                 >> LIMB_BITS)[..., None, :]
+        cols = _add_at(cols, i, lo, N_LIMBS)
+        cols = _add_at(cols, i + 1, hi + _pad_first(carry, N_LIMBS),
+                       N_LIMBS)
+    return _cond_sub_p_arr(f, _carry_arr(cols[..., N_LIMBS:2 * N_LIMBS, :]))
+
+
+def _pad_first(x, n):
+    """[..., 1, B] -> [..., n, B] with zeros after the first row."""
+    zeros = jnp.zeros_like(x)
+    return jnp.concatenate([x] + [zeros] * (n - 1), axis=-2)
+
+
+def mont_mul_arr(f: LimbField, a, b):
+    """Montgomery product on stacked arrays (compact trace)."""
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, shape)
+    b = jnp.broadcast_to(b, shape)
+    return _mont_reduce_arr(f, _product_cols_arr(a, b))
+
+
+def mont_dot_arr(f: LimbField, pairs):
+    """sum a_k*b_k*R^{-1}, chunked to the T < R*p bound."""
+    kmax = max_dot_terms(f)
+    acc = None
+    for start in range(0, len(pairs), kmax):
+        cols = None
+        for a, b in pairs[start:start + kmax]:
+            shape = jnp.broadcast_shapes(a.shape, b.shape)
+            cols = _product_cols_arr(jnp.broadcast_to(a, shape),
+                                     jnp.broadcast_to(b, shape), cols)
+        part = _mont_reduce_arr(f, cols)
+        acc = part if acc is None else add_arr(f, acc, part)
+    return acc
+
+
+# ---------------------------------------------------------------------------
 # array-layout wrappers ([..., N_LIMBS, B]); API-compatible with callers
 # ---------------------------------------------------------------------------
 
@@ -277,21 +426,20 @@ def _broadcast_pair(a, b):
 
 def add_mod(f: LimbField, a, b):
     a, b = _broadcast_pair(a, b)
-    return stack(add_list(f, unstack(a), unstack(b)))
+    return add_arr(f, a, b)
 
 
 def sub_mod(f: LimbField, a, b):
     a, b = _broadcast_pair(a, b)
-    return stack(sub_list(f, unstack(a), unstack(b)))
+    return sub_arr(f, a, b)
 
 
 def neg_mod(f: LimbField, a):
-    return stack(neg_list(f, unstack(a)))
+    return neg_arr(f, a)
 
 
 def mont_mul(f: LimbField, a, b):
-    a, b = _broadcast_pair(a, b)
-    return stack(mont_mul_list(f, unstack(a), unstack(b)))
+    return mont_mul_arr(f, a, b)
 
 
 def to_mont(f: LimbField, a):

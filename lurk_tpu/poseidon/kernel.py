@@ -54,14 +54,93 @@ def _kernel_constants(field: FieldSpec, arity: int):
     return spec, f, rc_mont, mds_mont, tag_mont
 
 
-def _sbox(f, x):
+def _sbox_arr(f, x):
+    """x^5 on [..., N_LIMBS, B]."""
+    x2 = L.mont_mul_arr(f, x, x)
+    x4 = L.mont_mul_arr(f, x2, x2)
+    return L.mont_mul_arr(f, x4, x)
+
+
+def _mds_mul_arr(f: L.LimbField, mds, st):
+    """MDS matvec: st [t_in, N_LIMBS, B], mds [t_out, t_in, N_LIMBS, 1]
+    Montgomery constants. Product columns for all (t_out, t_in) pairs in
+    one broadcast; sum over t_in chunks pre-reduction (T < R*p bound);
+    one Montgomery reduction per chunk for all outputs."""
+    t = mds.shape[0]
+    kmax = L.max_dot_terms(f)
+    acc = None
+    for s in range(0, t, kmax):
+        e = min(s + kmax, t)
+        # explicit slices (jnp fancy indexing lowers to gather, which
+        # Mosaic supports only in 2D)
+        mds_c = jax.lax.slice_in_dim(mds, s, e, axis=1)
+        st_c = jnp.expand_dims(jax.lax.slice_in_dim(st, s, e, axis=0), 0)
+        cols4 = L._product_cols_arr(mds_c, st_c)  # [t_out, c, 2N+1, B]
+        # explicit fold (Mosaic lacks unsigned reductions)
+        cols = jax.lax.index_in_dim(cols4, 0, axis=1, keepdims=False)
+        for j in range(1, e - s):
+            cols = cols + jax.lax.index_in_dim(cols4, j, axis=1,
+                                               keepdims=False)
+        part = L._mont_reduce_arr(f, cols)    # [t_out, N_LIMBS, B]
+        acc = part if acc is None else L.add_arr(f, acc, part)
+    return acc
+
+
+def _poseidon_state_loop(spec: PoseidonSpec, f: L.LimbField, get_rc, mds,
+                         st):
+    """st: [t, N_LIMBS, B] -> permuted. get_rc(r) -> [t, N_LIMBS, 1]
+    (accessor so Pallas can index the constants ref directly),
+    mds: [t, t, N_LIMBS, 1] (jnp, Montgomery form)."""
+    half = spec.full_rounds // 2
+    rp = spec.partial_rounds
+
+    def add_rc(st, r):
+        c = get_rc(r)
+        return L.add_arr(f, st, jnp.broadcast_to(c, st.shape))
+
+    def full_round(r, st):
+        st = add_rc(st, r)
+        st = _sbox_arr(f, st)
+        return _mds_mul_arr(f, mds, st)
+
+    def partial_round(r, st):
+        st = add_rc(st, r)
+        head = _sbox_arr(f, jax.lax.slice_in_dim(st, 0, 1, axis=0))
+        rest = jax.lax.slice_in_dim(st, 1, st.shape[0], axis=0)
+        st = jnp.concatenate([head, rest], axis=0)
+        return _mds_mul_arr(f, mds, st)
+
+    # Partial rounds run in unrolled GROUPS under one fori_loop — fusing
+    # `unroll` rounds per loop iteration cuts the HBM loop-carry traffic
+    # that dominates the runtime (56 of 64 rounds are partial). The
+    # unroll factor trades compile time (trace size) for bandwidth.
+    unroll = 4
+    n_chunks = rp // unroll
+
+    def chunk_body(ci, st):
+        base = half + ci * unroll
+        for j in range(unroll):
+            st = partial_round(base + j, st)
+        return st
+
+    st = jax.lax.fori_loop(0, half, full_round, st)
+    if n_chunks:
+        st = jax.lax.fori_loop(0, n_chunks, chunk_body, st)
+    for r in range(half + n_chunks * unroll, half + rp):
+        st = partial_round(r, st)
+    st = jax.lax.fori_loop(half + rp, half + rp + spec.full_rounds // 2,
+                           full_round, st)
+    return st
+
+
+def _sbox_list(f, x):
     """x^5 on a limb list (limbs may carry leading dims, e.g. [t, B])."""
     x2 = L.mont_mul_list(f, x, x)
     x4 = L.mont_mul_list(f, x2, x2)
     return L.mont_mul_list(f, x4, x)
 
 
-def _mds_mul(f: L.LimbField, mds_np: np.ndarray, lanes):
+def _mds_mul_list(f: L.LimbField, mds_np: np.ndarray, lanes):
     """MDS matvec on stacked lanes.
 
     lanes: limb list, each [t, B]. mds_np: [t, t, N_LIMBS, 1] Montgomery
@@ -93,7 +172,7 @@ def _mds_mul(f: L.LimbField, mds_np: np.ndarray, lanes):
     return acc
 
 
-def _poseidon_state_loop(spec: PoseidonSpec, f: L.LimbField, rc, mds_np,
+def _poseidon_state_loop_list(spec: PoseidonSpec, f: L.LimbField, rc, mds_np,
                          st):
     """st: [N_LIMBS, t, B] as limb list of [t, B] -> permuted.
     rc: [n_rounds, t, N_LIMBS, 1]."""
@@ -115,22 +194,23 @@ def _poseidon_state_loop(spec: PoseidonSpec, f: L.LimbField, rc, mds_np,
     def full_round(r, st):
         lanes = unpack(st)
         lanes = add_rc(lanes, r)
-        lanes = _sbox(f, lanes)
-        return pack(_mds_mul(f, mds_np, lanes))
+        lanes = _sbox_list(f, lanes)
+        return pack(_mds_mul_list(f, mds_np, lanes))
 
     def partial_round(r, st):
         lanes = unpack(st)
         lanes = add_rc(lanes, r)
-        head = _sbox(f, [x[0:1, :] for x in lanes])
+        head = _sbox_list(f, [x[0:1, :] for x in lanes])
         lanes = [jnp.concatenate([h, x[1:, :]], axis=0)
                  for h, x in zip(head, lanes)]
-        return pack(_mds_mul(f, mds_np, lanes))
+        return pack(_mds_mul_list(f, mds_np, lanes))
 
     st = jax.lax.fori_loop(0, half, full_round, st)
     st = jax.lax.fori_loop(half, half + rp, partial_round, st)
     st = jax.lax.fori_loop(half + rp, half + rp + spec.full_rounds // 2,
                            full_round, st)
     return st
+
 
 
 def build_hasher(field: FieldSpec, arity: int):
@@ -143,11 +223,9 @@ def build_hasher(field: FieldSpec, arity: int):
         b = preimages.shape[-1]
         tag = jnp.broadcast_to(jnp.asarray(tag_np), (1, L.N_LIMBS, b))
         st = jnp.concatenate([tag, L.to_mont(f, preimages)], axis=0)
-        # repack [t, N_LIMBS, B] -> [N_LIMBS, t, B] (limb-major for the
-        # list-based core)
+        # limb-major for the list core: [N_LIMBS, t, B]
         st = jnp.transpose(st, (1, 0, 2))
-        st = _poseidon_state_loop(spec, f, rc, mds_np, st)
-        # digest = state[1]: [N_LIMBS, B]
+        st = _poseidon_state_loop_list(spec, f, rc, mds_np, st)
         return L.from_mont(f, st[:, 1, :])
 
     return hasher

@@ -1,6 +1,7 @@
 """Device limb arithmetic vs python-int oracle (bit-exact)."""
 
 import random
+from functools import partial
 
 import numpy as np
 import jax
@@ -27,61 +28,55 @@ def test_roundtrip(field):
 
 
 @pytest.mark.parametrize("field", FIELDS, ids=lambda f: f.name)
-def test_add_sub_neg(field):
-    f = L.limb_field(field)
-    n = 64
-    xs, ys = rand_elts(field, n), rand_elts(field, n)
-    xs[:3] = [0, field.modulus - 1, field.modulus - 1]
-    ys[:3] = [0, field.modulus - 1, 1]
-    a, b = jnp.asarray(f.from_ints(xs)), jnp.asarray(f.from_ints(ys))
-    got_add = f.to_ints(np.asarray(L.add_mod(f, a, b))[None])
-    got_sub = f.to_ints(np.asarray(L.sub_mod(f, a, b))[None])
-    got_neg = f.to_ints(np.asarray(L.neg_mod(f, a))[None])
-    p = field.modulus
-    assert got_add == [(x + y) % p for x, y in zip(xs, ys)]
-    assert got_sub == [(x - y) % p for x, y in zip(xs, ys)]
-    assert got_neg == [(-x) % p for x in xs]
-
-
-@pytest.mark.parametrize("field", FIELDS, ids=lambda f: f.name)
-def test_mont_mul(field):
-    f = L.limb_field(field)
-    n = 64
-    xs, ys = rand_elts(field, n), rand_elts(field, n)
-    xs[:4] = [0, 1, field.modulus - 1, field.modulus - 1]
-    ys[:4] = [field.modulus - 1, 1, field.modulus - 1, 1]
-    a, b = jnp.asarray(f.from_ints(xs)), jnp.asarray(f.from_ints(ys))
-    # mont_mul computes a*b*R^{-1}; check against oracle
-    rinv = pow(1 << L.R_BITS, -1, field.modulus)
-    got = f.to_ints(np.asarray(L.mont_mul(f, a, b))[None])
-    want = [x * y * rinv % field.modulus for x, y in zip(xs, ys)]
-    assert got == want
-
-
-@pytest.mark.parametrize("field", FIELDS, ids=lambda f: f.name)
-def test_mont_roundtrip_and_mul_semantics(field):
+def test_ops_bit_exact(field):
+    """add/sub/neg/mont_mul/mont_dot in one jitted pass per field."""
     f = L.limb_field(field)
     n = 32
     xs, ys = rand_elts(field, n), rand_elts(field, n)
+    xs[:4] = [0, 1, field.modulus - 1, field.modulus - 1]
+    ys[:4] = [0, field.modulus - 1, field.modulus - 1, 1]
     a, b = jnp.asarray(f.from_ints(xs)), jnp.asarray(f.from_ints(ys))
-    am, bm = L.to_mont(f, a), L.to_mont(f, b)
-    # from_mont(to_mont(x)) == x
-    assert f.to_ints(np.asarray(L.from_mont(f, am))[None]) == xs
-    # mont domain multiply == modular multiply
-    prod = L.from_mont(f, L.mont_mul(f, am, bm))
+
+    @jax.jit
+    def all_ops(a, b):
+        return (
+            L.add_arr(f, a, b),
+            L.sub_arr(f, a, b),
+            L.neg_arr(f, a),
+            L.mont_mul_arr(f, a, b),
+            L.mont_dot_arr(f, [(a, b), (b, a), (a, a), (b, b)]),
+        )
+
+    got = [f.to_ints(np.asarray(r)[None]) for r in all_ops(a, b)]
     p = field.modulus
-    assert f.to_ints(np.asarray(prod)[None]) == [
-        x * y % p for x, y in zip(xs, ys)
+    rinv = pow(1 << L.R_BITS, -1, p)
+    assert got[0] == [(x + y) % p for x, y in zip(xs, ys)]
+    assert got[1] == [(x - y) % p for x, y in zip(xs, ys)]
+    assert got[2] == [(-x) % p for x in xs]
+    assert got[3] == [x * y * rinv % p for x, y in zip(xs, ys)]
+    assert got[4] == [
+        (2 * x * y + x * x + y * y) * rinv % p for x, y in zip(xs, ys)
     ]
+
+
+def test_mont_roundtrip():
+    field = PALLAS_SCALAR
+    f = L.limb_field(field)
+    xs = rand_elts(field, 16)
+    a = jnp.asarray(f.from_ints(xs))
+
+    @jax.jit
+    def round_trip(a):
+        return L.from_mont(f, L.to_mont(f, a))
+
+    assert f.to_ints(np.asarray(round_trip(a))[None]) == xs
 
 
 def test_jit_and_batch_dims():
     field = PALLAS_SCALAR
     f = L.limb_field(field)
     xs = rand_elts(field, 8)
-    a = jnp.asarray(f.from_ints(xs)).reshape(2, 4, L.N_LIMBS, 1)[..., 0]
-    # reshape to [2, N_LIMBS, 4]: build explicitly instead
-    arr = np.stack([f.from_ints(xs[:4]), f.from_ints(xs[4:])])  # [2, 16, 4]
+    arr = np.stack([f.from_ints(xs[:4]), f.from_ints(xs[4:])])  # [2,16,4]
     a = jnp.asarray(arr)
     sq = jax.jit(lambda x: L.mont_mul(f, x, x))(a)
     rinv = pow(1 << L.R_BITS, -1, field.modulus)
