@@ -1,23 +1,27 @@
 """Pippenger multi-scalar multiplication on TPU.
 
-Replaces arecibo's CPU/CUDA Pippenger (external crate; the dominant kernel
-of Nova folding commitments, see SURVEY.md §2.4) with an XLA-native,
-branchless formulation built on complete EC addition:
+Replaces arecibo's CPU/CUDA Pippenger (external crate; the dominant
+kernel of Nova folding commitments, see SURVEY.md §2.4) with an
+XLA-native, branchless formulation built on complete EC addition:
 
-  per window w (lax.scan):
+  per window w (lax.scan over windows):
     1. sort points by their c-bit digit (one argsort + gather);
     2. inclusive prefix scan of EC adds over the sorted batch
-       (`lax.associative_scan` — log2(N) vectorized stages);
+       (Hillis-Steele at fixed width: ONE traced EC add run log2(N)
+       times under fori_loop — compile-friendly);
     3. bucket sums as prefix differences: B_d = P[last(d)] - P[last(d-1)]
        (EC points form a group, so range sums are prefix differences —
        no scatter/atomics anywhere);
-    4. weighted reduction sum_d d*B_d via the bit trick:
-       sum_j 2^j * (masked tree-sum over buckets with bit j set).
-  final: Horner over windows with c doublings per step.
+    4. weighted reduction sum_d d*B_d: bit-masked bucket copies stacked
+       on a batch axis, one fixed-width pairwise tree (fori_loop), then
+       a Horner ladder over bits.
+  final: Horner over windows with c doublings per step (fori_loop).
 
-Multi-chip scaling: shard the point batch across devices, run stages 1-4
-per shard, and psum/gather the per-shard window sums over ICI (bucket
-reduction is tiny compared to the prefix scan).
+Every EC-add body is traced once and reused across loop iterations, so
+the compiled program is small regardless of N.
+
+Multi-chip scaling: shard the point batch across devices and combine the
+per-shard window sums (see lurk_tpu.parallel.sharding.shard_msm).
 """
 
 from __future__ import annotations
@@ -30,11 +34,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..curves.device import (
-    JPoint, curve_ctx, ec_add, ec_neg, ec_select, identity,
-    points_from_device, points_to_device,
+    JPoint, ec_add, ec_neg, ec_select, identity, points_from_device,
+    points_to_device,
 )
 from ..curves.weierstrass import Affine, Curve
-from ..ops import limbs as L
 
 DEFAULT_WINDOW = 8  # c bits per window
 
@@ -49,84 +52,126 @@ def _digits(scalars: Sequence[int], c: int, n_windows: int) -> np.ndarray:
     return out
 
 
-def _scan_add(curve: Curve):
-    def combine(p1: JPoint, p2: JPoint) -> JPoint:
-        return ec_add(curve, p1, p2)
-    return combine
+def _take(pts: JPoint, idx) -> JPoint:
+    return JPoint(pts.x[..., idx], pts.y[..., idx], pts.z[..., idx])
+
+
+def _prefix_scan(curve: Curve, pts: JPoint) -> JPoint:
+    """Inclusive EC prefix scan, Hillis-Steele at fixed width."""
+    n = pts.x.shape[-1]
+    n_steps = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    ident = identity(curve, n)
+    pos = jnp.arange(n, dtype=jnp.int32)
+
+    def body(k, x):
+        s = jnp.int32(1) << k
+        shifted = JPoint(jnp.roll(x.x, s, axis=-1),
+                         jnp.roll(x.y, s, axis=-1),
+                         jnp.roll(x.z, s, axis=-1))
+        mask = (pos >= s)[None, :]
+        shifted = ec_select(mask, shifted, ident)
+        return ec_add(curve, x, shifted)
+
+    return jax.lax.fori_loop(0, n_steps, body, pts)
+
+
+def _tree_sum(curve: Curve, pts: JPoint) -> JPoint:
+    """Sum a power-of-two batch to one point at fixed width: each level
+    adds even/odd pairs into the front half, pads with identity."""
+    n = pts.x.shape[-1]
+    assert n & (n - 1) == 0, "tree sum needs a power of two"
+    if n == 1:
+        return pts
+    levels = int(np.log2(n))
+    ident = identity(curve, n // 2)
+
+    def body(_, x):
+        even = _take(x, slice(0, n, 2))
+        odd = _take(x, slice(1, n, 2))
+        s = ec_add(curve, even, odd)
+
+        def pad(a, i):
+            fill = jnp.broadcast_to(i, a.shape)
+            return jnp.concatenate([a, fill], axis=-1)
+
+        return JPoint(pad(s.x, ident.x), pad(s.y, ident.y),
+                      pad(s.z, ident.z))
+
+    out = jax.lax.fori_loop(0, levels, body, pts)
+    return _take(out, slice(0, 1))
 
 
 def msm_device(curve: Curve, digits: jnp.ndarray, points: JPoint,
                c: int) -> JPoint:
     """digits: uint32[n_windows, N]; points: JPoint batch of N.
     Returns a single-point JPoint (batch of 1)."""
-    n_windows = digits.shape[0]
-    n = digits.shape[1]
+    n_windows, n = digits.shape
     n_buckets = 1 << c
+    ds = jnp.arange(n_buckets, dtype=jnp.uint32)
 
     def window_sum(carry, wdigits):
         # 1. sort by digit
         order = jnp.argsort(wdigits)
         sd = wdigits[order]
-        pts = JPoint(points.x[..., order], points.y[..., order],
-                     points.z[..., order])
-        # zero-digit points contribute nothing: replace with identity so
-        # the prefix trick needs no special case (identity adds are free
-        # in the complete formula)
-        # 2. inclusive prefix scan of EC adds along the batch axis
-        prefix = jax.lax.associative_scan(
-            lambda a, b: ec_add(curve, a, b), pts, axis=-1)
+        pts = _take(points, order)
+        # 2. inclusive prefix scan of EC adds
+        prefix = _prefix_scan(curve, pts)
         # 3. bucket sums as prefix range differences
-        ds = jnp.arange(n_buckets, dtype=jnp.uint32)
-        # last index with digit <= d  ==  searchsorted right - 1
         r = jnp.searchsorted(sd, ds, side="right").astype(jnp.int32) - 1
         r_prev = jnp.searchsorted(sd, ds - 1, side="right").astype(
-            jnp.int32) - 1  # for d=0: searchsorted(max_uint) handled below
+            jnp.int32) - 1
         r_prev = jnp.where(ds == 0, -1, r_prev)
-        ident = identity(curve, n_buckets)
+        ident_b = identity(curve, n_buckets)
 
         def gather_prefix(idx):
-            safe = jnp.maximum(idx, 0)
-            g = JPoint(prefix.x[..., safe], prefix.y[..., safe],
-                       prefix.z[..., safe])
-            mask = (idx >= 0)[None, :]
-            return ec_select(mask, g, ident)
+            g = _take(prefix, jnp.maximum(idx, 0))
+            return ec_select((idx >= 0)[None, :], g, ident_b)
 
-        hi = gather_prefix(r)
-        lo = gather_prefix(r_prev)
-        buckets = ec_add(curve, hi, ec_neg(curve, lo))   # [.., n_buckets]
-        # 4. weighted reduction sum_d d * B_d via bit masks + tree sums
-        ident1 = identity(curve, n_buckets)
-        acc_w = identity(curve, 1)
+        buckets = ec_add(curve, gather_prefix(r),
+                         ec_neg(curve, gather_prefix(r_prev)))
+        # 4. sum_d d*B_d: stack bit-masked copies [c, ..., n_buckets]
+        masked = []
         for j in range(c):
-            bit_mask = ((ds >> j) & 1).astype(bool)[None, :]
-            masked = ec_select(bit_mask, buckets, ident1)
-            # tree reduction to 1 point
-            m = n_buckets
-            cur = masked
-            while m > 1:
-                half = m // 2
-                left = JPoint(cur.x[..., :half], cur.y[..., :half],
-                              cur.z[..., :half])
-                right = JPoint(cur.x[..., half:m], cur.y[..., half:m],
-                               cur.z[..., half:m])
-                cur = ec_add(curve, left, right)
-                m = half
-            # acc_w += 2^j * cur  (j doublings applied later is wrong per
-            # window; instead double cur j times — j <= c-1, cheap)
-            for _ in range(j):
-                cur = ec_add(curve, cur, cur)
-            acc_w = ec_add(curve, acc_w, cur)
+            bit = ((ds >> j) & 1).astype(bool)[None, :]
+            masked.append(ec_select(bit, buckets, ident_b))
+        stacked = JPoint(
+            jnp.stack([m.x for m in masked], axis=0),
+            jnp.stack([m.y for m in masked], axis=0),
+            jnp.stack([m.z for m in masked], axis=0))
+        bit_sums = _tree_sum(curve, stacked)      # [c, .., 1]
+
+        # Horner over bits, top down: acc = 2*acc + S_j
+        ident1 = identity(curve, 1)
+
+        def horner_bit(k, acc):
+            j = c - 1 - k
+            acc = ec_add(curve, acc, acc)
+            sj = jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, j, axis=0, keepdims=False), bit_sums)
+            return ec_add(curve, acc, sj)
+
+        acc_w = jax.lax.fori_loop(0, c, horner_bit, ident1)
         return carry, acc_w
 
     _, window_sums = jax.lax.scan(window_sum, 0, digits)
-    # Horner over windows: acc = 2^c * acc + S_w, from the top window down
-    acc = identity(curve, 1)
-    for w in range(n_windows - 1, -1, -1):
-        for _ in range(c):
-            acc = ec_add(curve, acc, acc)
-        sw = jax.tree_util.tree_map(lambda a: a[w], window_sums)
-        acc = ec_add(curve, acc, sw)
-    return acc
+
+    # Horner over windows, top down: acc = 2^c * acc + S_w
+    ident1 = identity(curve, 1)
+
+    def horner_window(k, acc):
+        w = n_windows - 1 - k
+
+        def dbl(_, a):
+            return ec_add(curve, a, a)
+
+        acc = jax.lax.fori_loop(0, c, dbl, acc)
+        sw = jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_index_in_dim(
+                a, w, axis=0, keepdims=False), window_sums)
+        return ec_add(curve, acc, sw)
+
+    return jax.lax.fori_loop(0, n_windows, horner_window, ident1)
 
 
 @partial(jax.jit, static_argnums=(0, 3))
@@ -136,10 +181,19 @@ def _msm_jit(curve: Curve, digits, points: JPoint, c: int) -> JPoint:
 
 def msm(curve: Curve, scalars: Sequence[int], points: Sequence[Affine],
         c: int = DEFAULT_WINDOW) -> Affine:
-    """Host API: MSM over affine points with python-int scalars."""
+    """Host API: MSM over affine points with python-int scalars.
+
+    Inputs are padded to the next power-of-two size bucket (min 64) so
+    compiled shapes are shared across nearby sizes."""
     assert len(scalars) == len(points)
     if not scalars:
         return None
+    n = len(scalars)
+    size = 64
+    while size < n:
+        size *= 2
+    scalars = list(scalars) + [0] * (size - n)
+    points = list(points) + [None] * (size - n)
     n_windows = (curve.scalar.num_bits + c - 1) // c
     digits = _digits([s % curve.order for s in scalars], c, n_windows)
     dev_points = points_to_device(curve, list(points))

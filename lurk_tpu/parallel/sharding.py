@@ -67,10 +67,13 @@ def shard_msm(mesh: Mesh, curve: Curve, scalars: Sequence[int],
     from ..msm.pippenger import _digits, msm_device
     n_dev = mesh.devices.size
     n = len(scalars)
-    pad = (-n) % n_dev
+    # power-of-two per-shard size (min 64) so compiled shapes are shared
+    per = 64
+    while per * n_dev < n:
+        per *= 2
+    pad = per * n_dev - n
     scalars = list(scalars) + [0] * pad
     points = list(points) + [None] * pad
-    per = len(scalars) // n_dev
 
     n_windows = (curve.scalar.num_bits + c - 1) // c
     digits = _digits([s % curve.order for s in scalars], c, n_windows)

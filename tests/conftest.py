@@ -1,14 +1,45 @@
 """Test configuration: force an 8-device virtual CPU mesh.
 
-Multi-chip TPU hardware is not available in CI; all sharding tests run on a
-virtual 8-device CPU platform. Must run before jax is imported anywhere.
+Multi-chip TPU hardware is not available in CI; all sharding tests run
+on a virtual 8-device CPU platform.
+
+The axon TPU plugin's sitecustomize imports jaxlib at interpreter
+startup (before any conftest code), which snapshots XLA_FLAGS — later
+env changes cannot create the virtual CPU devices. When that plugin is
+active, re-exec pytest once with a clean environment, restoring the real
+stdout/stderr first (pytest's fd capture is already on by configure
+time).
 """
 
 import os
+import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
+        _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+
+def pytest_configure(config):
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        try:
+            capman.suspend_global_capture(in_=True)
+            capman.stop_global_capturing()
+        except Exception:
+            pass
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.execve(sys.executable,
+              [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
