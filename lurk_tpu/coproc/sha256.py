@@ -6,9 +6,8 @@ bytes); the whole buffer is reversed, sha256-hashed, and the big-endian
 digest integer is truncated to the field capacity (NUM_BITS - 1) —
 matching the reference's pack_bits/discard_bits dance bit for bit.
 
-The circuit side currently consumes the evaluated result as
-non-deterministic advice (Coprocessor.has_circuit=False path of the
-reference); an in-circuit sha256 gadget is the planned upgrade.
+The circuit side synthesizes the full in-circuit sha256 gadget
+(lurk_tpu.r1cs.sha256_gadget), matching the reference's CoCircuit.
 """
 
 from __future__ import annotations
@@ -40,8 +39,57 @@ def sha256_evaluate(store: Store, args: List[Ptr]) -> Ptr:
 
 
 def sha256_coprocessor(n: int) -> Coprocessor:
-    """Sha256Coprocessor of arity n."""
-    return Coprocessor(arity=n, evaluate=sha256_evaluate)
+    """Sha256Coprocessor of arity n (eval + in-circuit sha256 gadget)."""
+    return Coprocessor(arity=n, evaluate=sha256_evaluate,
+                       circuit=Sha256Circuit(n))
+
+
+class Sha256Circuit:
+    """Circuit side (CoCircuit parity, sha256.rs:27-66): strict bit
+    decomposition of each arg's tag and digest, byte-padded, reversed,
+    sha256 in-circuit, digest packed to the field capacity."""
+
+    def __init__(self, n: int):
+        self.n = n
+
+    def synthesize(self, synth, not_dummy, inp):
+        from ..lem.circuit import AllocatedPtr
+        from ..r1cs.gadgets import Num, alloc_num, to_bits_le_strict
+        from ..r1cs.cs import ConstraintSystem, lc_add, lc_scale, lc_sub
+        from ..r1cs.sha256_gadget import sha256_bits
+        from ..tags import ExprTag
+        cs = synth.cs
+        # inp = [args..., env, cont]; env/cont pass through unchanged
+        # (CoCircuit::synthesize_internal parity, coprocessor/mod.rs:57-112)
+        args, env, cont = inp[:self.n], inp[-2], inp[-1]
+        bits = []
+
+        def pad8(b):
+            while len(b) % 8:
+                from ..r1cs.gadgets import Bool
+                b.append(Bool.false())
+
+        for ptr in args:
+            tag_bits = to_bits_le_strict(cs, ptr.tag)
+            bits.extend(tag_bits)
+            pad8(bits)
+            hash_bits = to_bits_le_strict(cs, ptr.hash)
+            bits.extend(hash_bits)
+            pad8(bits)
+        bits.reverse()
+        digest_bits = sha256_bits(cs, bits)
+        digest_bits.reverse()   # now LSB-first
+        capacity = cs.field.num_bits - 1
+        take = digest_bits[:capacity]
+        value = sum(int(b.value) << i for i, b in enumerate(take))
+        out = alloc_num(cs, value)
+        pack = {}
+        for i, b in enumerate(take):
+            pack = lc_add(pack, lc_scale(b.lc(cs), 1 << i, cs.p), cs.p)
+        cs.enforce(lc_sub(pack, out.lc, cs.p),
+                   {ConstraintSystem.ONE_VAR: 1}, {})
+        result = AllocatedPtr(Num.constant(cs, int(ExprTag.Num)), out)
+        return [result, env, cont]
 
 
 def sha256_nivc_symbol(n: int) -> Symbol:

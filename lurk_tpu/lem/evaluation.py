@@ -25,10 +25,15 @@ class Coprocessor:
     ``evaluate(store, args) -> Ptr`` consumes `arity` evaluated argument
     pointers and returns the result expression. ``evaluate_internal``
     plumbs env/cont through unchanged unless the coprocessor overrides it.
+    ``circuit`` optionally carries the CoCircuit synthesis object (with a
+    ``synthesize(synthesizer, not_dummy, inp) -> [AllocatedPtr]``
+    method); without it the circuit consumes the evaluated result as
+    non-deterministic advice.
     """
 
     arity: int
     evaluate: Callable[[Store, List[Ptr]], Ptr]
+    circuit: Optional[object] = None
 
     def evaluate_internal(self, store: Store,
                           ptrs: List[Ptr]) -> List[Ptr]:
@@ -65,6 +70,10 @@ class Lang:
             s: (lambda store, args, _c=c: _c.evaluate_internal(store, args))
             for s, c in self._coprocs.items()
         }
+
+    def circuit_synthesizers(self) -> Dict[Symbol, object]:
+        return {s: c.circuit for s, c in self._coprocs.items()
+                if c.circuit is not None}
 
     def __len__(self) -> int:
         return len(self._coprocs)

@@ -64,7 +64,7 @@ def shard_msm(mesh: Mesh, curve: Curve, scalars: Sequence[int],
     Each device runs the full Pippenger window pipeline on its point
     shard; the n_devices partial results are combined with a log-depth
     EC tree on one device (complete addition handles identities)."""
-    from ..msm.pippenger import _digits, msm_device
+    from ..msm.pippenger import _digits, _msm_jit
     n_dev = mesh.devices.size
     n = len(scalars)
     # power-of-two per-shard size (min 64) so compiled shapes are shared
@@ -80,7 +80,8 @@ def shard_msm(mesh: Mesh, curve: Curve, scalars: Sequence[int],
     dev_points = points_to_device(curve, points)
 
     def shard_fn(digits_shard, pts: JPoint) -> JPoint:
-        return msm_device(curve, digits_shard, pts, c)
+        # jitted + persistent-cached; all shards share one executable
+        return _msm_jit(curve, digits_shard, pts, c)
 
     partials: List[JPoint] = []
     for d in range(n_dev):

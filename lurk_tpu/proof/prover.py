@@ -68,9 +68,12 @@ class NovaProver:
         step = self.step_func()
         mframes = MultiFrame.from_frames(frames, self.rc, step, store,
                                          self.lang)
+        synths = (self.lang.circuit_synthesizers()
+                  if self.lang is not None else None)
         # shape from the first step (uniform across steps; pinned by tests)
         x0, w0, cs0 = mframes[0].instance(step, store,
-                                          shape_check=self.check_steps)
+                                          shape_check=self.check_steps,
+                                          cproc_synthesizers=synths)
         shape = R1CSShape(cs0)
         pp = public_params(shape)
         rs = RecursiveSNARK(pp)
@@ -78,7 +81,8 @@ class NovaProver:
         rs.prove_step(x0, w0, check=self.check_steps)
         for mf in mframes[1:]:
             x, w, _ = mf.instance(step, store,
-                                  shape_check=self.check_steps)
+                                  shape_check=self.check_steps,
+                                  cproc_synthesizers=synths)
             rs.prove_step(x, w, check=self.check_steps)
         rs.zi = io_scalars(store, mframes[-1].frames[-1].output)
         return pp, rs.finish()

@@ -135,10 +135,12 @@ class SuperNovaProver:
         # build shapes per circuit index actually used
         shapes: Dict[int, R1CSShape] = {}
         instances: List[Tuple[int, List[int], List[int]]] = []
+        synths = self.lang.circuit_synthesizers()
         for step in steps:
             func = self._step_func(step.pc)
             x, w, cs = step.mframe.instance(
-                func, store, shape_check=self.check_steps)
+                func, store, shape_check=self.check_steps,
+                cproc_synthesizers=synths)
             if step.pc not in shapes:
                 shapes[step.pc] = R1CSShape(cs)
             else:
