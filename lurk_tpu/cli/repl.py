@@ -426,15 +426,185 @@ class Repl:
         comm.persist()
         print(f"Next callable: 0x{comm.digest:064x}")
 
+    # -- protocols (meta_cmd.rs:689-1033) -----------------------------------
+
+    def _get_properties(self, props: List[Ptr],
+                        keys: List[str]) -> Dict[str, Ptr]:
+        """Parse a keyword plist (:key value ...)."""
+        out: Dict[str, Ptr] = {}
+        i = 0
+        while i + 1 < len(props) + 1 and i < len(props):
+            key_sym = self.store.fetch_symbol(props[i])
+            if key_sym is None or not key_sym.keyword:
+                raise ReplError("expected keyword in property list")
+            key = key_sym.path[-1]
+            if key not in keys:
+                raise ReplError(f"unknown property :{key}")
+            if i + 1 >= len(props):
+                raise ReplError(f"missing value for :{key}")
+            out[key] = props[i + 1]
+            i += 2
+        return out
+
     def _meta_defprotocol(self, args: Ptr) -> None:
         lst = self._args(args)
+        if len(lst) < 3:
+            raise ReplError("defprotocol expects (name vars body props...)")
+        name_ptr, vars_ptr, body = lst[0], lst[1], lst[2]
+        props = self._get_properties(
+            lst[3:], ["backend", "rc", "lang", "description"])
+        s = self.store
+        lam = s.list([s.intern_lurk_symbol("lambda"), vars_ptr, body])
+        out = ev.evaluate_simple_with_env_and_cont(
+            None, lam, s.intern_empty_env(), s.cont_outermost(), s,
+            self.limit, self.channel)[0]
+        fun = out[0]
+        if fun.tag != ExprTag.Fun:
+            raise ReplError("protocol definition must evaluate to a "
+                            "function")
+        backend = props.get("backend", s.intern_string(self.backend))
+        rc = props.get("rc", s.num(self.rc))
+        lang_p = props.get("lang", self.nil)
+        description = props.get("description", s.intern_string(""))
+        protocol = s.list([fun, backend, rc, lang_p, description])
+        self.env = s.push_binding(name_ptr, protocol, self.env)
+        print(self.fmt(name_ptr))
+
+    def _protocol_parts(self, ptcl_expr: Ptr):
+        """Evaluate a protocol expression -> (fun, backend, rc)."""
+        s = self.store
+        out = self.eval_expr(ptcl_expr)
+        lst = s.fetch_proper_list(out[0])
+        if lst is None or len(lst) != 5:
+            raise ReplError("not a protocol value")
+        fun, backend_p, rc_p, _lang, _desc = lst
+        backend = s.fetch_string(backend_p)
+        rc = s.fetch_num(rc_p)
+        if backend is None or rc is None:
+            raise ReplError("malformed protocol")
+        return fun, backend, rc
+
+    def _cont_from_key(self, key_ptr: Ptr) -> Ptr:
+        s = self.store
+        sym = s.fetch_symbol(key_ptr)
+        name = sym.path[-1] if sym and sym.path else None
+        if name == "outermost":
+            return s.cont_outermost()
+        if name == "terminal":
+            return s.cont_terminal()
+        if name == "error":
+            return s.cont_error()
+        raise ReplError(f"invalid continuation key {self.fmt(key_ptr)}")
+
+    def _run_protocol_fn(self, fun: Ptr, args_evaled: List[Ptr]):
+        """Apply the protocol fn to quoted args -> (cek_io, post_verify)."""
+        s = self.store
+        quote = s.intern_lurk_symbol("quote")
+        call = s.list([fun] + [s.list([quote, a]) for a in args_evaled])
+        out = ev.evaluate_simple_with_env_and_cont(
+            None, call, s.intern_empty_env(), s.cont_outermost(), s,
+            self.limit, self.channel)[0]
+        if out[2].tag == ContTag.Error:
+            raise ReplError("protocol function call errored")
+        pair = s.fetch_cons(out[0])
+        if pair is None:
+            raise ReplError("protocol function must return a pair")
+        pre_verify, post_verify = pair
+        if pre_verify.tag == ExprTag.Nil:
+            raise ReplError("pre-verification predicate rejected the "
+                            "input")
+        cek_io = s.fetch_proper_list(pre_verify)
+        if cek_io is None or len(cek_io) != 6:
+            raise ReplError("protocol must return a 6-element CEK io "
+                            "list")
+        return cek_io, post_verify
+
+    def _post_verify_check(self, post_verify: Ptr) -> None:
+        if post_verify.tag == ExprTag.Nil:
+            return
+        s = self.store
+        call = s.list([post_verify])
+        out = ev.evaluate_simple_with_env_and_cont(
+            None, call, s.intern_empty_env(), s.cont_outermost(), s,
+            self.limit, self.channel)[0]
+        if out[0].tag == ExprTag.Nil or out[2].tag == ContTag.Error:
+            raise ReplError("post-verification predicate rejected the "
+                            "input")
+
+    def _meta_prove_protocol(self, args: Ptr) -> None:
+        lst = self._args(args)
         if len(lst) < 2:
-            raise ReplError("defprotocol expects (name vars body...)")
-        name_ptr = lst[0]
-        body = self.store.list(lst[1:])
-        lam = self.store.intern_lurk_symbol("lambda")
-        fn = self.store.cons(lam, body)
-        self._meta_def(self.store.list([name_ptr, fn]))
+            raise ReplError(
+                "prove-protocol expects (protocol path args...)")
+        s = self.store
+        fun, backend, rc = self._protocol_parts(lst[0])
+        path = s.fetch_string(lst[1])
+        if path is None:
+            raise ReplError("prove-protocol path must be a string")
+        if rc != self.rc:
+            raise ReplError(f"protocol rc={rc} != repl rc={self.rc}")
+        args_evaled = [self.eval_expr(a)[0] for a in lst[2:]]
+        cek_io, post_verify = self._run_protocol_fn(fun, args_evaled)
+        self._post_verify_check(post_verify)
+        frames = ev.evaluate_with_env_and_cont(
+            None, cek_io[0], cek_io[1], self._cont_from_key(cek_io[2]),
+            s, self.limit, self.channel)
+        res = frames[-1].output
+        if s.hash_ptr(res[0]) != s.hash_ptr(cek_io[3]) or \
+                s.hash_ptr(res[1]) != s.hash_ptr(cek_io[4]) or \
+                res[2] != self._cont_from_key(cek_io[5]):
+            raise ReplError("mismatch between expected and computed "
+                            "output")
+        proof_key = self.prove_frames(frames, len(frames))
+        # dump the protocol proof: args zdag + proof key reference
+        s.hydrate_z_cache()
+        z_dag = ZDag()
+        args_list = s.list(args_evaled)
+        z_args = z_dag.populate_with(args_list, s)
+        Path(path).write_text(json.dumps({
+            "args": {"root": {"tag": z_args.tag,
+                              "digest": f"{z_args.digest:x}"},
+                     "zdag": z_dag.to_json()},
+            "proof_key": proof_key,
+        }))
+        print(f"Protocol proof saved at {path}")
+
+    def _meta_verify_protocol(self, args: Ptr) -> None:
+        lst = self._args(args, 2)
+        s = self.store
+        fun, backend, rc = self._protocol_parts(lst[0])
+        path = s.fetch_string(lst[1])
+        if path is None:
+            raise ReplError("verify-protocol path must be a string")
+        data = json.loads(Path(path).read_text())
+        from ..store.core import ZPtr
+        z_dag = ZDag.from_json(data["args"]["zdag"])
+        root = ZPtr(data["args"]["root"]["tag"],
+                    int(data["args"]["root"]["digest"], 16))
+        args_list = z_dag.populate_store(root, s)
+        args_vec = s.fetch_proper_list(args_list)
+        if args_vec is None:
+            raise ReplError("protocol proof args must be a list")
+        cek_io, post_verify = self._run_protocol_fn(fun, args_vec)
+        # check the proof's public IO against the protocol's CEK io
+        lp = LurkProof.load(data["proof_key"])
+        if lp is None:
+            raise ReplError(f"proof {data['proof_key']} not found")
+        s.hydrate_z_cache()
+        expect_z0 = []
+        for p in (cek_io[0], cek_io[1], self._cont_from_key(cek_io[2])):
+            z = s.hash_ptr(p)
+            expect_z0.extend((z.tag, z.digest))
+        expect_zi = []
+        for p in (cek_io[3], cek_io[4], self._cont_from_key(cek_io[5])):
+            z = s.hash_ptr(p)
+            expect_zi.extend((z.tag, z.digest))
+        if lp.proof.z0 != expect_z0 or lp.proof.zi != expect_zi:
+            raise ReplError("proof IO does not match the protocol")
+        if not self.verify_proof_key(data["proof_key"]):
+            raise ReplError("proof failed verification")
+        self._post_verify_check(post_verify)
+        print("Protocol proof verified")
 
     def _meta_help(self, args: Ptr) -> None:
         cmds = sorted(
