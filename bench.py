@@ -25,8 +25,12 @@ def main() -> None:
     from lurk_tpu.poseidon.kernel import build_hasher
 
     arity = 4
-    batch = 1 << 15
-    hasher = jax.jit(build_hasher(PALLAS_SCALAR, arity))
+    batch = 1 << 16
+    if jax.default_backend() != "cpu":
+        from lurk_tpu.poseidon.pallas_kernel import build_pallas_hasher
+        hasher = jax.jit(build_pallas_hasher(PALLAS_SCALAR, arity, 512))
+    else:
+        hasher = jax.jit(build_hasher(PALLAS_SCALAR, arity))
 
     f = L.limb_field(PALLAS_SCALAR)
     rng = np.random.default_rng(42)
