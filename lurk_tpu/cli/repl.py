@@ -348,6 +348,23 @@ class Repl:
         print(f"Expr-out: tag {meta.expr_io[1].tag:#06x} "
               f"digest 0x{meta.expr_io[1].digest:x}")
 
+    def _meta_inspect_full(self, args: Ptr) -> None:
+        (key_ptr,) = self._args(args, 1)
+        key = self.store.fetch_string(key_ptr)
+        meta = LurkProofMeta.load(key)
+        if meta is None:
+            raise ReplError(f"no proof meta for {key}")
+        print(f"Iterations: {meta.iterations}")
+        s = self.store
+        # reconstruct the claim IO from the zdag for full display
+        for label, (zin, zout) in (("Expr", meta.expr_io),
+                                   ("Env", meta.env_io),
+                                   ("Cont", meta.cont_io)):
+            pin = meta.z_dag.populate_store(zin, s)
+            pout = meta.z_dag.populate_store(zout, s)
+            print(f"{label}: {self.fmt(pin)}")
+            print(f"{label}-out: {self.fmt(pout)}")
+
     def _meta_defpackage(self, args: Ptr) -> None:
         (name_ptr,) = self._args(args, 1)
         name = self.store.fetch_symbol(name_ptr)

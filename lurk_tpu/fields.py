@@ -138,3 +138,46 @@ FIELDS: Dict[str, FieldSpec] = {
 
 def field(name: str) -> FieldSpec:
     return FIELDS[name]
+
+
+# -- element codecs (LurkField parity: src/field.rs:64-263) -------------------
+
+
+def to_char(f: int) -> "str | None":
+    """Field element -> char if it fits 32 bits and is a valid scalar."""
+    if 0 <= f < 0x110000:
+        try:
+            return chr(f)
+        except ValueError:
+            return None
+    return None
+
+
+def from_char(c: str) -> int:
+    return ord(c)
+
+
+def to_u64(field_spec: FieldSpec, f: int) -> "int | None":
+    """Canonical u64 if the element fits (LurkField::to_u64)."""
+    f %= field_spec.modulus
+    return f if f < (1 << 64) else None
+
+
+def to_u64_unchecked(f: int) -> int:
+    """Low 64 bits of the LE repr (LurkField::to_u64_unchecked)."""
+    return f & ((1 << 64) - 1)
+
+
+def to_u16(field_spec: FieldSpec, f: int) -> "int | None":
+    f %= field_spec.modulus
+    return f if f < (1 << 16) else None
+
+
+def to_u32(field_spec: FieldSpec, f: int) -> "int | None":
+    f %= field_spec.modulus
+    return f if f < (1 << 32) else None
+
+
+def to_u128(field_spec: FieldSpec, f: int) -> "int | None":
+    f %= field_spec.modulus
+    return f if f < (1 << 128) else None
