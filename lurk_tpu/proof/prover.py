@@ -79,17 +79,52 @@ class NovaProver:
         rs = RecursiveSNARK(pp)
         rs.z0 = io_scalars(store, mframes[0].frames[0].input)
         rs.prove_step(x0, w0, check=self.check_steps)
-        for mf in mframes[1:]:
-            x, w, _ = mf.instance(step, store,
-                                  shape_check=self.check_steps,
-                                  cproc_synthesizers=synths)
+        for x, w in self._witnesses(mframes[1:], step, store, synths):
             rs.prove_step(x, w, check=self.check_steps)
         rs.zi = io_scalars(store, mframes[-1].frames[-1].output)
         return pp, rs.finish()
 
-    # -- verification ---------------------------------------------------------
+    def _witnesses(self, mframes, step, store, synths):
+        """Per-step witness synthesis; parallel across a fork pool when
+        configured (the reference's rayon frames axis, config.rs:192-194;
+        forked workers share the hydrated store copy-on-write)."""
+        from ..config import settings
+        if (not settings().perf.parallel_witness_gen or len(mframes) < 2
+                or synths):
+            for mf in mframes:
+                x, w, _ = mf.instance(step, store,
+                                      shape_check=self.check_steps,
+                                      cproc_synthesizers=synths)
+                yield x, w
+            return
+        import multiprocessing as mp
+        try:
+            ctx = mp.get_context("fork")
+        except ValueError:
+            for mf in mframes:
+                x, w, _ = mf.instance(step, store,
+                                      shape_check=self.check_steps)
+                yield x, w
+            return
+        global _WORKER_ARGS
+        _WORKER_ARGS = (step, store)
+        n_proc = min(len(mframes), max(1, (ctx.cpu_count() or 2) - 1))
+        with ctx.Pool(n_proc) as pool:
+            for x, w in pool.imap(_witness_worker, mframes):
+                yield x, w
+
+    # -- verification --------------------------------------------------------
 
     @staticmethod
     def verify(pp: PublicParams, proof: FoldingProof) -> bool:
         return verify(pp, proof,
                       io_chain_checker(proof.z0, proof.zi))
+
+
+_WORKER_ARGS: Optional[tuple] = None
+
+
+def _witness_worker(mf: MultiFrame):
+    step, store = _WORKER_ARGS
+    x, w, _ = mf.instance(step, store)
+    return x, w
