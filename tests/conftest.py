@@ -15,6 +15,12 @@ import os
 import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# one shared params cache per suite run: generator derivation is slow,
+# and proofs/commitments are content-keyed so sharing is safe
+if "LURK_TPU_CACHE" not in os.environ:
+    import tempfile
+    os.environ["LURK_TPU_CACHE"] = tempfile.mkdtemp(
+        prefix="lurk_tpu_test_cache_")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -12,8 +12,7 @@ from lurk_tpu.store.core import Store
 
 
 @pytest.fixture()
-def repl(tmp_path, monkeypatch):
-    monkeypatch.setenv("LURK_TPU_CACHE", str(tmp_path / "cache"))
+def repl(tmp_path):
     store = Store(BN256_SCALAR, use_device=False)
     return Repl(store, rc=4, limit=100_000)
 
