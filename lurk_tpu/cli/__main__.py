@@ -19,7 +19,8 @@ from ..store.core import Store
 def make_repl(args):
     from .repl import Repl
     store = Store(FIELDS[args.field])
-    return Repl(store, rc=args.rc, limit=args.limit)
+    return Repl(store, rc=args.rc, limit=args.limit,
+                backend=getattr(args, "backend", "nova-fold"))
 
 
 def main(argv=None) -> int:
@@ -34,6 +35,9 @@ def main(argv=None) -> int:
                        help="max evaluation iterations")
         p.add_argument("--field", default="bn256", choices=list(FIELDS),
                        help="Lurk field")
+        p.add_argument("--backend", default="nova-fold",
+                       choices=["nova-fold", "supernova-fold"],
+                       help="folding backend")
 
     p_repl = sub.add_parser("repl", help="interactive REPL")
     common(p_repl)

@@ -64,6 +64,44 @@ def proof_to_json(proof: FoldingProof) -> dict:
     }
 
 
+def nivc_proof_to_json(proof) -> dict:
+    return {
+        "steps": [
+            {"pc": pc,
+             "comm_w": _pt(inst.comm_w),
+             "x": [f"{v:x}" for v in inst.x],
+             "comm_t": _pt(comm_t)}
+            for pc, inst, comm_t in proof.steps
+        ],
+        "final": {
+            str(pc): {"w": [f"{v:x}" for v in wit.w],
+                      "e": [f"{v:x}" for v in wit.e]}
+            for pc, wit in proof.final_witnesses.items()
+        },
+        "z0": [f"{v:x}" for v in proof.z0],
+        "zi": [f"{v:x}" for v in proof.zi],
+    }
+
+
+def nivc_proof_from_json(d: dict):
+    from ..proof.supernova import NivcProof
+    steps = [
+        (s["pc"],
+         R1CSInstance(_un_pt(s["comm_w"]),
+                      [int(v, 16) for v in s["x"]]),
+         _un_pt(s["comm_t"]))
+        for s in d["steps"]
+    ]
+    final = {
+        int(pc): RelaxedWitness([int(v, 16) for v in wd["w"]],
+                                [int(v, 16) for v in wd["e"]])
+        for pc, wd in d["final"].items()
+    }
+    return NivcProof(steps, final,
+                     [int(v, 16) for v in d["z0"]],
+                     [int(v, 16) for v in d["zi"]])
+
+
 def proof_from_json(d: dict) -> FoldingProof:
     steps = [
         (R1CSInstance(_un_pt(s["comm_w"]),
@@ -89,11 +127,15 @@ class LurkProof:
 
     def persist(self, proof_key: str) -> Path:
         path = proofs_dir() / f"{proof_key}.proof.json"
+        if self.backend.startswith("supernova"):
+            proof_json = nivc_proof_to_json(self.proof)
+        else:
+            proof_json = proof_to_json(self.proof)
         path.write_text(json.dumps({
             "backend": self.backend,
             "field": self.field,
             "rc": self.rc,
-            "proof": proof_to_json(self.proof),
+            "proof": proof_json,
         }))
         return path
 
@@ -103,8 +145,11 @@ class LurkProof:
         if not path.exists():
             return None
         d = json.loads(path.read_text())
-        return LurkProof(proof_from_json(d["proof"]), d["rc"], d["field"],
-                         d["backend"])
+        if d["backend"].startswith("supernova"):
+            proof = nivc_proof_from_json(d["proof"])
+        else:
+            proof = proof_from_json(d["proof"])
+        return LurkProof(proof, d["rc"], d["field"], d["backend"])
 
     @staticmethod
     def is_cached(proof_key: str) -> bool:

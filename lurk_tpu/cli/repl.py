@@ -130,9 +130,16 @@ class Repl:
         claim_hash = f"{claim_comm.digest:064x}"
         proof_key = self.proof_key(claim_hash)
         if not LurkProof.is_cached(proof_key):
-            prover = NovaProver(rc=self.rc, lang=self.lang)
-            pp, proof = prover.prove_from_frames(s, frames)
-            assert NovaProver.verify(pp, proof), "self-check failed"
+            if self.backend.startswith("supernova"):
+                from ..proof.supernova import SuperNovaProver
+                from ..proof import supernova as sn
+                prover = SuperNovaProver(rc=self.rc, lang=self.lang)
+                pp, proof = prover.prove_from_frames(s, frames)
+                assert sn.verify(pp, proof), "self-check failed"
+            else:
+                prover = NovaProver(rc=self.rc, lang=self.lang)
+                pp, proof = prover.prove_from_frames(s, frames)
+                assert NovaProver.verify(pp, proof), "self-check failed"
             LurkProof(proof, self.rc, s.field.name,
                       self.backend).persist(proof_key)
         LurkProofMeta(iterations, (zs[0], zs[3]), (zs[1], zs[4]),
@@ -152,12 +159,47 @@ class Repl:
         lp = LurkProof.load(proof_key)
         if lp is None:
             raise ReplError(f"proof {proof_key} not found")
-        shape = self._shape_for_rc(lp.rc)
-        from ..proof.prover import public_params
-        pp = public_params(shape)
-        ok = NovaProver.verify(pp, lp.proof)
+        if lp.backend.startswith("supernova"):
+            from ..proof import supernova as sn
+            from ..proof.supernova import SuperNovaProver
+            prover = SuperNovaProver(rc=lp.rc, lang=self.lang)
+            pcs = {pc for pc, _, _ in lp.proof.steps}
+            shapes = self._nivc_shapes(prover, pcs)
+            pp = sn.SuperNovaPublicParams.setup(shapes)
+            ok = sn.verify(pp, lp.proof)
+        else:
+            shape = self._shape_for_rc(lp.rc)
+            from ..proof.prover import public_params
+            pp = public_params(shape)
+            ok = NovaProver.verify(pp, lp.proof)
         print("✓ Proof verified" if ok else "✗ Proof failed on verification")
         return ok
+
+    def _nivc_shapes(self, prover, pcs):
+        from ..proof.multiframe import MultiFrame, io_scalars
+        from ..proof.nova import R1CSShape
+        from ..lem.interpreter import Frame
+        s = self.store
+        shapes = {}
+        synths = self.lang.circuit_synthesizers()
+        for pc in sorted(pcs):
+            func = prover._step_func(pc)
+            if pc == 0:
+                frames = ev.evaluate(None, self.nil, s, prover.rc)
+                s.hydrate_z_cache()
+                mfs = MultiFrame.from_frames(frames, prover.rc,
+                                             prover.lurk_step, s)
+                _, _, cs = mfs[0].instance(prover.lurk_step, s,
+                                           cproc_synthesizers=synths)
+            else:
+                blank = Frame.blank_frame(func, pc, s)
+                mf = MultiFrame([blank],
+                                io_scalars(s, blank.input),
+                                io_scalars(s, blank.output))
+                _, _, cs = mf.instance(func, s,
+                                       cproc_synthesizers=synths)
+            shapes[pc] = R1CSShape(cs)
+        return shapes
 
     def _shape_for_rc(self, rc: int):
         from ..proof.multiframe import MultiFrame

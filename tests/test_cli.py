@@ -44,3 +44,17 @@ def test_prove_verify_roundtrip(tmp_path):
     r2 = run_cli(["verify", proof_key, "--rc", "2"], tmp_path)
     assert r2.returncode == 0, r2.stderr + r2.stdout
     assert "Proof verified" in r2.stdout
+
+
+def test_supernova_backend_roundtrip(tmp_path):
+    src = tmp_path / "t.lurk"
+    src.write_text("!(prove (* 2 3))\n")
+    r = run_cli(["load", str(src), "--rc", "2", "--limit", "1000",
+                 "--backend", "supernova-fold"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    m = re.search(r'Proof key: "([^"]+)"', r.stdout)
+    assert m, r.stdout
+    assert m.group(1).startswith("supernova-fold_")
+    r2 = run_cli(["verify", m.group(1), "--rc", "2"], tmp_path)
+    assert r2.returncode == 0, r2.stderr + r2.stdout
+    assert "Proof verified" in r2.stdout
