@@ -15,6 +15,9 @@ import os
 import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# fork-pool witness gen can deadlock after the XLA client initializes
+# (earlier tests touch jax); keep test runs single-process
+os.environ.setdefault("LURK_TPU_PERF", "parallel-steps-only")
 # one shared params cache per suite run: generator derivation is slow,
 # and proofs/commitments are content-keyed so sharing is safe
 if "LURK_TPU_CACHE" not in os.environ:
