@@ -20,7 +20,7 @@ import dataclasses
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from ..poseidon.circuit import poseidon_circuit
-from ..r1cs.cs import ConstraintSystem
+from ..r1cs.cs import ConstraintSystem, SynthesisError
 from ..r1cs.gadgets import (
     Bool, Num, add, alloc_bit, alloc_equal, alloc_is_zero, alloc_num,
     bool_and, bool_or, bool_xor, div, enforce_product_and_sum,
@@ -113,6 +113,11 @@ class SynthesisCtx:
     blank: bool
     hint_bindings: Dict[str, Ptr]
     cproc_synthesizers: Dict[object, object]  # Symbol -> CoCircuit
+    # Witness-only/diagnostic escape hatch: binds interpreter advice for
+    # CPROC ops with no circuit synthesizer WITHOUT constraining it. The
+    # reference has no such fallback (every Coprocessor must implement
+    # synthesize); proving paths must leave this False.
+    allow_unconstrained_advice: bool = False
 
 
 class Synthesizer:
@@ -279,6 +284,12 @@ class Synthesizer:
                 for var, ptr in zip(outs, out_ptrs):
                     bound[var] = ptr
             else:
+                if not self.ctx.allow_unconstrained_advice:
+                    raise SynthesisError(
+                        f"coprocessor {sym_} has no circuit synthesizer; "
+                        "proving it would bind unconstrained advice "
+                        "(pass allow_unconstrained_advice for witness-only "
+                        "diagnostics)")
                 # unconstrained advice from interpretation
                 for var in outs:
                     if concrete:
@@ -454,7 +465,8 @@ class Synthesizer:
 def synthesize_frame_with_inputs(
         cs: ConstraintSystem, func: ir.Func, store: Store, frame: Frame,
         inputs: List[AllocatedPtr],
-        cproc_synthesizers: Optional[Dict] = None
+        cproc_synthesizers: Optional[Dict] = None,
+        allow_unconstrained_advice: bool = False,
 ) -> List[AllocatedPtr]:
     """Synthesize one frame against pre-allocated input pointers; returns
     the output pointers. Used by MultiFrame chaining (the output of frame
@@ -471,6 +483,7 @@ def synthesize_frame_with_inputs(
         cs=cs, store=store, slots=slots, blank=frame.blank,
         hint_bindings=frame.hints.bindings,
         cproc_synthesizers=cproc_synthesizers or {},
+        allow_unconstrained_advice=allow_unconstrained_advice,
     )
     synth = Synthesizer(ctx)
     return synth.synthesize_func(

@@ -40,7 +40,8 @@ def pad_frames(frames: List[Frame], lurk_step: ir.Func, rc: int,
     last_out = frames[-1].output
     pad_frame, _ = compute_frame(lurk_step, [], list(last_out), store,
                                  lang, channel, 0)
-    assert pad_frame.output == pad_frame.input or True
+    assert pad_frame.output == pad_frame.input, \
+        "stuttering pad frame must be a fixed point"
     return frames + [pad_frame] * (target - n)
 
 

@@ -50,21 +50,36 @@ def _gens_from_bytes(data: bytes, n: int) -> List[Affine]:
 
 
 def load_generators(curve: Curve, label: bytes, n: int) -> List[Affine]:
-    """Cached generator derivation; extends the cache file on growth."""
+    """Cached generator derivation; extends the cache file on growth.
+
+    The read-modify-write of the shared cache entry is guarded by an
+    fcntl file lock, and both files are written via temp + os.replace so
+    a concurrent reader never sees a .bin/.json pair mid-update."""
+    import fcntl
     key = f"ck_{curve.name}_{label.hex()}"
     path = cache_dir() / f"{key}.bin"
     meta_path = cache_dir() / f"{key}.json"
-    gens: List[Affine] = []
-    if path.exists() and meta_path.exists():
-        meta = json.loads(meta_path.read_text())
-        have = meta["n"]
-        data = path.read_bytes()
-        gens = _gens_from_bytes(data, min(have, n))
-        if have >= n:
-            return gens[:n]
-    fresh = curve.derive_generators_from(label, len(gens), n)
-    gens = gens + fresh
-    path.write_bytes(_gens_to_bytes(gens))
-    meta_path.write_text(json.dumps(
-        {"curve": curve.name, "label": label.hex(), "n": len(gens)}))
-    return gens
+    lock_path = cache_dir() / f"{key}.lock"
+    with open(lock_path, "w") as lock_f:
+        fcntl.flock(lock_f, fcntl.LOCK_EX)
+        gens: List[Affine] = []
+        if path.exists() and meta_path.exists():
+            meta = json.loads(meta_path.read_text())
+            have = meta["n"]
+            data = path.read_bytes()
+            gens = _gens_from_bytes(data, min(have, n))
+            if have >= n:
+                return gens[:n]
+        fresh = curve.derive_generators_from(label, len(gens), n)
+        gens = gens + fresh
+        _atomic_write(path, _gens_to_bytes(gens))
+        _atomic_write(meta_path, json.dumps(
+            {"curve": curve.name, "label": label.hex(),
+             "n": len(gens)}).encode())
+        return gens
+
+
+def _atomic_write(path: Path, data: bytes) -> None:
+    tmp = path.with_suffix(path.suffix + f".tmp.{os.getpid()}")
+    tmp.write_bytes(data)
+    os.replace(tmp, path)

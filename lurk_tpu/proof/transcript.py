@@ -36,9 +36,16 @@ class Transcript:
         self._buf.append(x % self.base.modulus)
 
     def absorb_scalar(self, x: int) -> None:
-        # scalar field elements fit the base field modulo reduction caveat;
-        # absorb the canonical integer
-        self._buf.append(x % self.base.modulus)
+        # Scalar-field values can exceed the base modulus (pallas/vesta:
+        # q > p), so a mod-p reduction would alias distinct instance
+        # values. Absorb losslessly as two limbs (low 128 bits, high
+        # bits), mirroring Nova's limb-split scalar absorption.
+        x = int(x)
+        if self.curve.order > self.base.modulus:
+            self._buf.append(x & ((1 << 128) - 1))
+            self._buf.append(x >> 128)
+        else:
+            self._buf.append(x % self.base.modulus)
 
     def absorb_point(self, pt: Affine) -> None:
         if pt is None:
