@@ -228,7 +228,12 @@ class PublicParams:
             curve = CURVE_FOR_FIELD[shape.field.name]
         assert curve.order == shape.p, \
             f"curve {curve.name} order != circuit field"
-        n = max(shape.num_aux, shape.num_constraints)
+        # next power of two: the Spartan/IPA compression layer (spartan
+        # .py) opens commitments over pow2-padded vectors, and Pedersen
+        # prefix consistency means the padded commitment equals the
+        # unpadded one, so one key serves both paths.
+        n = max(shape.num_aux, shape.num_constraints, shape.num_inputs, 2)
+        n = 1 << (n - 1).bit_length()
         return PublicParams(shape, curve,
                             CommitmentKey.setup(
                                 curve, b"lurk_tpu.ck." + curve.name.encode(),
@@ -286,6 +291,14 @@ def verify(pp: PublicParams, proof: FoldingProof,
     `io_chain_check(x_list)` optionally validates the step-to-step IO
     linkage (e.g. MultiFrame z_out == next z_in)."""
     shape = pp.shape
+    # A zero-step proof is vacuous: the all-zero default accumulator is
+    # satisfied by the default zero witness. Reject it (and malformed
+    # public IO) here so direct callers are protected, not only those
+    # routed through io_chain_checker.
+    if not proof.steps:
+        return False
+    if any(len(inst.x) != shape.num_inputs - 1 for inst, _ in proof.steps):
+        return False
     acc = RelaxedInstance.default(shape)
     for inst, comm_t in proof.steps:
         r = fold_challenge(pp.curve, shape.digest, acc, inst, comm_t)
