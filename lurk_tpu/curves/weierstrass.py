@@ -83,15 +83,20 @@ class Curve:
         return self.add(a, a)
 
     def mul(self, k: int, pt: Affine) -> Affine:
+        """Scalar mul via a Jacobian double-and-add ladder (one field
+        inversion total; the affine ladder costs one inversion PER add,
+        ~30x slower — the IPA generator folds do 2n of these)."""
         k %= self.order
-        acc: Affine = None
-        base = pt
+        if pt is None or k == 0:
+            return None
+        acc = (0, 1, 0)
+        base = self.jac_from_affine(pt)
         while k:
             if k & 1:
-                acc = self.add(acc, base)
-            base = self.add(base, base)
+                acc = self.jac_add(acc, base)
+            base = self.jac_double(base)
             k >>= 1
-        return acc
+        return self.jac_to_affine(acc)
 
     def msm(self, scalars: List[int], points: List[Affine]) -> Affine:
         """Reference MSM (naive; oracle for the Pippenger paths)."""
