@@ -20,7 +20,8 @@ def make_repl(args):
     from .repl import Repl
     store = Store(FIELDS[args.field])
     return Repl(store, rc=args.rc, limit=args.limit,
-                backend=getattr(args, "backend", "nova-fold"))
+                backend=getattr(args, "backend", "nova-fold"),
+                compress=getattr(args, "compress", False))
 
 
 def main(argv=None) -> int:
@@ -38,6 +39,9 @@ def main(argv=None) -> int:
         p.add_argument("--backend", default="nova-fold",
                        choices=["nova-fold", "supernova-fold"],
                        help="folding backend")
+        p.add_argument("--compress", action="store_true",
+                       help="Spartan/IPA-compress proofs before "
+                            "persisting (reference default; slower)")
 
     p_repl = sub.add_parser("repl", help="interactive REPL")
     common(p_repl)
@@ -61,6 +65,18 @@ def main(argv=None) -> int:
     p_pp = sub.add_parser("public-params",
                           help="manage the public parameter cache")
     p_pp.add_argument("action", choices=["list", "clean"])
+
+    p_circom = sub.add_parser(
+        "circom", help="package a compiled circom gadget "
+                       "(cli/circom.rs parity)")
+    p_circom.add_argument("folder", type=Path,
+                          help="folder with <NAME>.r1cs (+.wasm/.wtns) "
+                               "or <NAME>.circom source")
+    p_circom.add_argument("--name", required=True,
+                          help="gadget reference <AUTHOR>/<NAME>")
+    p_circom.add_argument("--prime", default="vesta",
+                          help="circom prime (base field of the proof "
+                               "curve)")
 
     args = parser.parse_args(argv)
 
@@ -91,6 +107,12 @@ def main(argv=None) -> int:
         except ReplError as e:
             print(f"Error: {e}")
             return 1
+        return 0
+    if args.command == "circom":
+        from ..coproc.circom import create_circom_gadget
+        dest = create_circom_gadget(args.folder, args.name,
+                                    field=args.prime)
+        print(f"Gadget packaged at {dest}")
         return 0
     if args.command == "public-params":
         from ..proof.params_cache import cache_dir

@@ -102,6 +102,96 @@ def nivc_proof_from_json(d: dict):
                      [int(v, 16) for v in d["zi"]])
 
 
+def _spartan_to_json(sp) -> dict:
+    def ipa(pr):
+        return {"ls": [_pt(q) for q in pr.ls],
+                "rs": [_pt(q) for q in pr.rs],
+                "a": f"{pr.a_final:x}"}
+    return {
+        "sc1": [[f"{v:x}" for v in row] for row in sp.sc1_polys],
+        "claims": [f"{v:x}" for v in sp.claims],
+        "sc2": [[f"{v:x}" for v in row] for row in sp.sc2_polys],
+        "w_eval": f"{sp.w_eval:x}",
+        "ipa_w": ipa(sp.ipa_w),
+        "ipa_e": ipa(sp.ipa_e),
+    }
+
+
+def _spartan_from_json(d: dict):
+    from ..proof.ipa import IpaProof
+    from ..proof.spartan import SpartanProof
+
+    def ipa(v):
+        return IpaProof([_un_pt(q) for q in v["ls"]],
+                        [_un_pt(q) for q in v["rs"]],
+                        int(v["a"], 16))
+    return SpartanProof(
+        [[int(v, 16) for v in row] for row in d["sc1"]],
+        tuple(int(v, 16) for v in d["claims"]),
+        [[int(v, 16) for v in row] for row in d["sc2"]],
+        int(d["w_eval"], 16), ipa(d["ipa_w"]), ipa(d["ipa_e"]))
+
+
+def compressed_proof_to_json(proof) -> dict:
+    """spartan.CompressedProof (IVC) -> json dict."""
+    return {
+        "steps": [
+            {"comm_w": _pt(inst.comm_w),
+             "x": [f"{v:x}" for v in inst.x],
+             "comm_t": _pt(comm_t)}
+            for inst, comm_t in proof.steps
+        ],
+        "spartan": _spartan_to_json(proof.spartan),
+        "z0": [f"{v:x}" for v in proof.z0],
+        "zi": [f"{v:x}" for v in proof.zi],
+    }
+
+
+def compressed_proof_from_json(d: dict):
+    from ..proof.spartan import CompressedProof
+    steps = [
+        (R1CSInstance(_un_pt(s["comm_w"]),
+                      [int(v, 16) for v in s["x"]]),
+         _un_pt(s["comm_t"]))
+        for s in d["steps"]
+    ]
+    return CompressedProof(steps, _spartan_from_json(d["spartan"]),
+                           [int(v, 16) for v in d["z0"]],
+                           [int(v, 16) for v in d["zi"]])
+
+
+def compressed_nivc_to_json(proof) -> dict:
+    return {
+        "steps": [
+            {"pc": pc,
+             "comm_w": _pt(inst.comm_w),
+             "x": [f"{v:x}" for v in inst.x],
+             "comm_t": _pt(comm_t)}
+            for pc, inst, comm_t in proof.steps
+        ],
+        "spartans": {str(pc): _spartan_to_json(sp)
+                     for pc, sp in proof.spartans.items()},
+        "z0": [f"{v:x}" for v in proof.z0],
+        "zi": [f"{v:x}" for v in proof.zi],
+    }
+
+
+def compressed_nivc_from_json(d: dict):
+    from ..proof.supernova import CompressedNivcProof
+    steps = [
+        (s["pc"],
+         R1CSInstance(_un_pt(s["comm_w"]),
+                      [int(v, 16) for v in s["x"]]),
+         _un_pt(s["comm_t"]))
+        for s in d["steps"]
+    ]
+    spartans = {int(pc): _spartan_from_json(sp)
+                for pc, sp in d["spartans"].items()}
+    return CompressedNivcProof(steps, spartans,
+                               [int(v, 16) for v in d["z0"]],
+                               [int(v, 16) for v in d["zi"]])
+
+
 def proof_from_json(d: dict) -> FoldingProof:
     steps = [
         (R1CSInstance(_un_pt(s["comm_w"]),
@@ -118,23 +208,32 @@ def proof_from_json(d: dict) -> FoldingProof:
 
 @dataclasses.dataclass
 class LurkProof:
-    """Persisted proof + public IO + rc (lurk_proof.rs parity)."""
+    """Persisted proof + public IO + rc (lurk_proof.rs parity).
 
-    proof: FoldingProof
+    `kind` is "recursive" (uncompressed fold chain + final witness) or
+    "compressed" (fold chain + Spartan/IPA proof — the reference always
+    persists the compressed form, nova.rs:331-373)."""
+
+    proof: object
     rc: int
     field: str
     backend: str = "nova-fold"
+    kind: str = "recursive"
 
     def persist(self, proof_key: str) -> Path:
         path = proofs_dir() / f"{proof_key}.proof.json"
-        if self.backend.startswith("supernova"):
-            proof_json = nivc_proof_to_json(self.proof)
+        nivc = self.backend.startswith("supernova")
+        if self.kind == "compressed":
+            proof_json = (compressed_nivc_to_json(self.proof) if nivc
+                          else compressed_proof_to_json(self.proof))
         else:
-            proof_json = proof_to_json(self.proof)
+            proof_json = (nivc_proof_to_json(self.proof) if nivc
+                          else proof_to_json(self.proof))
         path.write_text(json.dumps({
             "backend": self.backend,
             "field": self.field,
             "rc": self.rc,
+            "kind": self.kind,
             "proof": proof_json,
         }))
         return path
@@ -145,11 +244,15 @@ class LurkProof:
         if not path.exists():
             return None
         d = json.loads(path.read_text())
-        if d["backend"].startswith("supernova"):
-            proof = nivc_proof_from_json(d["proof"])
+        nivc = d["backend"].startswith("supernova")
+        kind = d.get("kind", "recursive")
+        if kind == "compressed":
+            proof = (compressed_nivc_from_json(d["proof"]) if nivc
+                     else compressed_proof_from_json(d["proof"]))
         else:
-            proof = proof_from_json(d["proof"])
-        return LurkProof(proof, d["rc"], d["field"], d["backend"])
+            proof = (nivc_proof_from_json(d["proof"]) if nivc
+                     else proof_from_json(d["proof"]))
+        return LurkProof(proof, d["rc"], d["field"], d["backend"], kind)
 
     @staticmethod
     def is_cached(proof_key: str) -> bool:

@@ -43,12 +43,16 @@ class ReplError(Exception):
 
 class Repl:
     def __init__(self, store: Store, rc: int = 10, limit: int = 100_000_000,
-                 backend: str = "nova-fold"):
+                 backend: str = "nova-fold", compress: bool = False):
         self.store = store
         self.state = State.init_lurk_state()
         self.rc = rc
         self.limit = limit
         self.backend = backend
+        # the reference always compresses before persisting
+        # (repl/mod.rs:263-409 -> nova.rs:331); opt-in here because the
+        # Spartan/IPA pass adds minutes on the 16k-row lurk circuit
+        self.compress = compress
         self.env = store.intern_empty_env()
         self.evaluation: Optional[Evaluation] = None
         self.channel: Channel = dummy_channel()
@@ -130,18 +134,35 @@ class Repl:
         claim_hash = f"{claim_comm.digest:064x}"
         proof_key = self.proof_key(claim_hash)
         if not LurkProof.is_cached(proof_key):
+            kind = "recursive"
             if self.backend.startswith("supernova"):
                 from ..proof.supernova import SuperNovaProver
                 from ..proof import supernova as sn
                 prover = SuperNovaProver(rc=self.rc, lang=self.lang)
                 pp, proof = prover.prove_from_frames(s, frames)
-                assert sn.verify(pp, proof), "self-check failed"
+                if self.compress:
+                    proof = sn.compress(pp, proof)
+                    kind = "compressed"
+                    assert sn.verify_compressed(pp, proof), \
+                        "self-check failed"
+                else:
+                    assert sn.verify(pp, proof), "self-check failed"
             else:
                 prover = NovaProver(rc=self.rc, lang=self.lang)
                 pp, proof = prover.prove_from_frames(s, frames)
-                assert NovaProver.verify(pp, proof), "self-check failed"
+                if self.compress:
+                    from ..proof import spartan
+                    from ..proof.multiframe import io_chain_checker
+                    proof = spartan.compress(pp, proof)
+                    kind = "compressed"
+                    assert spartan.verify_compressed(
+                        pp, proof,
+                        io_chain_checker(proof.z0, proof.zi)), \
+                        "self-check failed"
+                else:
+                    assert NovaProver.verify(pp, proof), "self-check failed"
             LurkProof(proof, self.rc, s.field.name,
-                      self.backend).persist(proof_key)
+                      self.backend, kind).persist(proof_key)
         LurkProofMeta(iterations, (zs[0], zs[3]), (zs[1], zs[4]),
                       (zs[2], zs[5]), z_dag).persist(proof_key)
         claim_comm.persist()
@@ -166,12 +187,22 @@ class Repl:
             pcs = {pc for pc, _, _ in lp.proof.steps}
             shapes = self._nivc_shapes(prover, pcs)
             pp = sn.SuperNovaPublicParams.setup(shapes)
-            ok = sn.verify(pp, lp.proof)
+            if lp.kind == "compressed":
+                ok = sn.verify_compressed(pp, lp.proof)
+            else:
+                ok = sn.verify(pp, lp.proof)
         else:
             shape = self._shape_for_rc(lp.rc)
             from ..proof.prover import public_params
             pp = public_params(shape)
-            ok = NovaProver.verify(pp, lp.proof)
+            if lp.kind == "compressed":
+                from ..proof import spartan
+                from ..proof.multiframe import io_chain_checker
+                ok = spartan.verify_compressed(
+                    pp, lp.proof,
+                    io_chain_checker(lp.proof.z0, lp.proof.zi))
+            else:
+                ok = NovaProver.verify(pp, lp.proof)
         print("✓ Proof verified" if ok else "✗ Proof failed on verification")
         return ok
 

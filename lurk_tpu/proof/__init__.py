@@ -6,3 +6,6 @@ from .nova import (  # noqa: F401
     check_relaxed, check_strict, verify,
 )
 from .prover import NovaProver, public_params  # noqa: F401
+from .spartan import (  # noqa: F401
+    CompressedProof, compress, verify_compressed,
+)

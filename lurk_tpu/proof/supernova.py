@@ -81,10 +81,18 @@ class SuperNovaPublicParams:
         from ..curves.weierstrass import CURVE_FOR_FIELD
         any_shape = next(iter(shapes.values()))
         curve = CURVE_FOR_FIELD[any_shape.field.name]
-        n = max(max(s.num_aux, s.num_constraints) for s in shapes.values())
+        n = max(max(s.num_aux, s.num_constraints, s.num_inputs, 2)
+                for s in shapes.values())
+        n = 1 << (n - 1).bit_length()   # pow2: Spartan/IPA opens padded
         ck = CommitmentKey.setup(curve,
                                  b"lurk_tpu.ck." + curve.name.encode(), n)
         return SuperNovaPublicParams(shapes, ck, curve)
+
+    def params_for(self, pc: int):
+        """Single-circuit view (shape, curve, ck) for the compression
+        SNARK — nova.PublicParams-compatible."""
+        from .nova import PublicParams
+        return PublicParams(self.shapes[pc], self.curve, self.ck)
 
 
 @dataclasses.dataclass
@@ -183,26 +191,41 @@ class SuperNovaProver:
         return pp, proof, frames
 
 
-def verify(pp: SuperNovaPublicParams, proof: NivcProof) -> bool:
-    """Recompute the per-circuit fold chains + IO linkage, then check all
-    final relaxed witnesses and commitment consistency."""
-    # IO chain across ALL steps in order
-    xs = [inst.x for _, inst, _ in proof.steps]
-    if not xs or xs[0][:6] != list(proof.z0):
+def _io_chain_ok(steps, z0, zi) -> bool:
+    """The step IO linkage across ALL steps in order (z_out == next
+    z_in) plus the z0/zi endpoints."""
+    xs = [inst.x for _, inst, _ in steps]
+    if not xs or xs[0][:6] != list(z0):
         return False
     for prev, cur in zip(xs, xs[1:]):
         if prev[6:] != cur[:6]:
             return False
-    if xs[-1][6:] != list(proof.zi):
-        return False
-    # fold chains per circuit
+    return xs[-1][6:] == list(zi)
+
+
+def _fold_chains(pp: SuperNovaPublicParams, steps
+                 ) -> Optional[Dict[int, RelaxedInstance]]:
+    """Recompute the per-circuit fold chains; None on malformed IO."""
     acc: Dict[int, RelaxedInstance] = {
         pc: RelaxedInstance.default(s) for pc, s in pp.shapes.items()}
-    for pc, inst, comm_t in proof.steps:
-        shape = pp.shapes[pc]
+    for pc, inst, comm_t in steps:
+        shape = pp.shapes.get(pc)
+        if shape is None or len(inst.x) != shape.num_inputs - 1:
+            return None
         r = fold_challenge(pp.curve, shape.digest, acc[pc], inst, comm_t)
         acc[pc] = fold_instance(pp.curve, acc[pc], inst, comm_t, r,
                                 shape.p)
+    return acc
+
+
+def verify(pp: SuperNovaPublicParams, proof: NivcProof) -> bool:
+    """Recompute the per-circuit fold chains + IO linkage, then check all
+    final relaxed witnesses and commitment consistency."""
+    if not _io_chain_ok(proof.steps, proof.z0, proof.zi):
+        return False
+    acc = _fold_chains(pp, proof.steps)
+    if acc is None:
+        return False
     for pc, shape in pp.shapes.items():
         wit = proof.final_witnesses[pc]
         if not check_relaxed(shape, acc[pc], wit):
@@ -210,5 +233,61 @@ def verify(pp: SuperNovaPublicParams, proof: NivcProof) -> bool:
         if pp.ck.commit(wit.w) != acc[pc].comm_w:
             return False
         if pp.ck.commit(wit.e) != acc[pc].comm_e:
+            return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Compression (CompressedSNARK over every per-circuit accumulator)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class CompressedNivcProof:
+    """Fold chain + one Spartan proof per circuit index. The reference
+    batches the per-circuit Spartan instances into one
+    BatchedRelaxedR1CSSNARK (supernova.rs:163-198); per-circuit proofs
+    are functionally equivalent (documented deviation: proof is
+    #circuits x larger, verification identical)."""
+
+    steps: List[Tuple[int, R1CSInstance, object]]
+    spartans: Dict[int, object]     # pc -> spartan.SpartanProof
+    z0: List[int]
+    zi: List[int]
+
+
+def compress(pp: SuperNovaPublicParams,
+             proof: NivcProof) -> CompressedNivcProof:
+    from . import spartan
+    assert proof.steps, "cannot compress an empty NIVC fold chain"
+    acc = _fold_chains(pp, proof.steps)
+    assert acc is not None
+    # circuits never folded keep the default accumulator, which has no
+    # commitments to open; only prove circuits that appeared
+    used = {pc for pc, _, _ in proof.steps}
+    spartans = {
+        pc: spartan.prove(pp.params_for(pc), acc[pc],
+                          proof.final_witnesses[pc])
+        for pc in sorted(used)
+    }
+    return CompressedNivcProof(proof.steps, spartans, proof.z0, proof.zi)
+
+
+def verify_compressed(pp: SuperNovaPublicParams,
+                      proof: CompressedNivcProof) -> bool:
+    from . import spartan
+    if not proof.steps:
+        return False
+    if not _io_chain_ok(proof.steps, proof.z0, proof.zi):
+        return False
+    acc = _fold_chains(pp, proof.steps)
+    if acc is None:
+        return False
+    used = {pc for pc, _, _ in proof.steps}
+    if set(proof.spartans) != used:
+        return False
+    for pc in used:
+        if not spartan.verify(pp.params_for(pc), acc[pc],
+                              proof.spartans[pc]):
             return False
     return True
