@@ -115,10 +115,14 @@ class Interpreter:
     """Stateful executor for LEM Funcs against one Store."""
 
     def __init__(self, store: Store,
-                 cprocs: Optional[Dict["object", Callable]] = None):
+                 cprocs: Optional[Dict["object", Callable]] = None,
+                 crout: Optional[Callable] = None):
         self.store = store
         # Lang: Symbol -> coprocessor callable (ptrs...) -> [ptrs]
         self.cprocs = cprocs or {}
+        # coroutine dispatch (Op::Crout): (sym, [ptrs]) -> [ptrs],
+        # normally a memoset Scope query (lem/coroutine/eval.rs parity)
+        self.crout = crout
 
     # -- value helpers -----------------------------------------------------
 
@@ -238,6 +242,17 @@ class Interpreter:
                 raise EvalError(f"coprocessor for {sym} not found")
             args = [b[v] for v in ins]
             out_ptrs = cproc(store, args)
+            assert len(outs) == len(out_ptrs)
+            for var, ptr in zip(outs, out_ptrs):
+                b[var] = ptr
+                hints.bindings[var] = ptr
+        elif k == ir.CROUT:
+            _, outs, sym, ins = op
+            if self.crout is None:
+                raise EvalError(
+                    f"coroutine {sym} invoked without a scope")
+            args = [b[v] for v in ins]
+            out_ptrs = self.crout(sym, args)
             assert len(outs) == len(out_ptrs)
             for var, ptr in zip(outs, out_ptrs):
                 b[var] = ptr

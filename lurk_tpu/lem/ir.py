@@ -55,6 +55,10 @@ class Lit:
 
 # (CPROC, out_vars: tuple, sym: Symbol, in_vars: tuple)
 CPROC = "cproc"
+# (CROUT, out_vars: tuple, sym: Symbol, in_vars: tuple) — binds the
+# results of coroutine `sym` applied to the inputs (Op::Crout,
+# reference src/lem/mod.rs:214); dispatched through a memoset Scope
+CROUT = "crout"
 # (CALL, out_vars: tuple, func: Func, in_vars: tuple)
 CALL = "call"
 # (COPY, tgt, src)
@@ -214,7 +218,7 @@ def if_not(var: str, true_block: Block, false_block: Block) -> If:
 def op_def_use(op: Op) -> Tuple[Tuple[str, ...], Tuple[str, ...]]:
     """(defined_vars, used_vars) of an op."""
     k = op[0]
-    if k == CPROC:
+    if k in (CPROC, CROUT):
         return tuple(op[1]), tuple(op[3])
     if k == CALL:
         return tuple(op[1]), tuple(op[3])
@@ -265,7 +269,7 @@ def _rename_op(op: Op, env: Dict[str, str], uniq: List[int]) -> Op:
         return nv
 
     k = op[0]
-    if k == CPROC:
+    if k in (CPROC, CROUT):
         ins = tuple(use(v) for v in op[3])
         outs = tuple(bind(v) for v in op[1])
         return (k, outs, op[2], ins)
