@@ -27,8 +27,8 @@ def main() -> None:
     arity = 4
     batch = 1 << 16
     if jax.default_backend() != "cpu":
-        from lurk_tpu.poseidon.pallas_kernel import build_pallas_hasher
-        hasher = jax.jit(build_pallas_hasher(PALLAS_SCALAR, arity, 512))
+        from lurk_tpu.poseidon.pallas_mxu import build_pallas_mxu_hasher
+        hasher = jax.jit(build_pallas_mxu_hasher(PALLAS_SCALAR, arity, 512))
     else:
         hasher = jax.jit(build_hasher(PALLAS_SCALAR, arity))
 
