@@ -93,6 +93,12 @@ def main(argv=None) -> int:
             repl.prove_last_frames()
         return 0
     if args.command == "verify":
+        # the persisted proof records its own field (the proof key also
+        # embeds it, cli/lurk_proof.rs parity) — never trust the flag
+        from .lurk_proof import LurkProof
+        lp = LurkProof.load(args.proof_key)
+        if lp is not None:
+            args.field = lp.field
         repl = make_repl(args)
         return 0 if repl.verify_proof_key(args.proof_key) else 1
     if args.command == "inspect":

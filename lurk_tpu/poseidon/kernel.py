@@ -237,8 +237,9 @@ def _hash_jit(field: FieldSpec, arity: int, preimages):
 
 
 def _use_pallas() -> bool:
-    """The Pallas (VMEM-resident) kernel is ~3x the XLA path on real TPU
-    hardware; the XLA path is the CPU/interpret fallback."""
+    """The Pallas MXU kernel (pallas_mxu.py: VMEM-resident state +
+    constant-Toeplitz digit-plane matmuls) is ~5x the XLA path on real
+    TPU hardware; the XLA path is the CPU/interpret fallback."""
     import jax
     return jax.default_backend() not in ("cpu",)
 
@@ -247,8 +248,8 @@ def hash_batch_padded(field: FieldSpec, arity: int, preimages_ints) -> list:
     """Like hash_batch but pads the batch to the next power of two (min 64)
     so jit compilation happens only once per size bucket."""
     if _use_pallas():
-        from .pallas_kernel import hash_batch_pallas
-        return hash_batch_pallas(field, arity, preimages_ints, tile=512)
+        from .pallas_mxu import hash_batch_pallas_mxu
+        return hash_batch_pallas_mxu(field, arity, preimages_ints, tile=512)
     n = len(preimages_ints)
     size = 64
     while size < n:

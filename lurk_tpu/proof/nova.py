@@ -171,7 +171,7 @@ def cross_term(shape: R1CSShape, inst1: RelaxedInstance,
 def _absorb_relaxed(tr: Transcript, inst: RelaxedInstance) -> None:
     tr.absorb_point(inst.comm_w)
     tr.absorb_point(inst.comm_e)
-    tr.absorb(inst.u)
+    tr.absorb_scalar(inst.u)   # u accumulates in the scalar field: lossless
     for v in inst.x:
         tr.absorb_scalar(v)
 

@@ -19,7 +19,11 @@ from typing import List, Optional, Tuple
 from ..curves.weierstrass import Affine, Curve
 from ..poseidon.host import hash_preimage
 
-CHALLENGE_BITS = 248
+# 124 bits: small enough that an in-circuit nonnative product
+# challenge x 128-bit-limb (2^252) stays below every cycle modulus
+# (bn256 ~ 2^253.5, pasta ~ 2^254.5) — see r1cs/bignat.py — while
+# keeping 124-bit Fiat-Shamir soundness (Nova uses 128).
+CHALLENGE_BITS = 124
 
 
 class Transcript:
