@@ -1,0 +1,186 @@
+"""Nova IVC prover (augmented circuits) over the universal Lurk step.
+
+The cycle analogue of proof/prover.py: evaluate -> MultiFrames -> each
+chunk becomes the step function of one primary augmented-circuit
+synthesis -> dual-chain folding (proof/nova_cycle.py). This is the
+reference's actual `nova` backend shape (RecursiveSNARK over the
+augmented MultiFrame StepCircuit, /root/reference/src/proof/nova.rs:
+260-373): O(1) proofs, optionally Spartan/IPA-compressed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+from ..lem import evaluation as ev
+from ..lem import ir
+from ..lem.eval_step import eval_step
+from ..lem.interpreter import Frame
+from ..store.core import Ptr, Store
+from . import spartan
+from .multiframe import MultiFrame, io_scalars
+from .nova import (
+    PublicParams, R1CSInstance, RelaxedInstance, RelaxedWitness,
+    fold_instance,
+)
+from .nova_cycle import (
+    CycleProof, CyclePublicParams, CycleSNARK, cycle_fold_challenge,
+    cycle_state_hash, verify as cycle_verify,
+)
+
+
+def multiframe_step_fn(lurk_step: ir.Func, store: Store,
+                       cproc_synthesizers: Optional[Dict] = None):
+    """Step callback for the primary augmented circuit: rc chained Lurk
+    frame syntheses (multiframe.rs:596-712 functionality), inputs/outputs
+    as the 6-scalar z vector."""
+    from ..lem.circuit import AllocatedPtr, synthesize_frame_with_inputs
+
+    def step(cs, zi, frames: List[Frame]):
+        current = [AllocatedPtr(zi[2 * i], zi[2 * i + 1])
+                   for i in range(3)]
+        for frame in frames:
+            current = synthesize_frame_with_inputs(
+                cs, lurk_step, store, frame, current, cproc_synthesizers)
+        out = []
+        for ptr in current:
+            out.extend((ptr.tag, ptr.hash))
+        return out
+
+    return step
+
+
+_CYCLE_PP_CACHE: Dict[tuple, CyclePublicParams] = {}
+
+
+def cycle_public_params(store: Store, rc: int, lurk_step: ir.Func,
+                        lang: Optional[ev.Lang] = None
+                        ) -> CyclePublicParams:
+    """Cached CyclePublicParams for (field, rc, lang). Shape synthesis
+    uses a nil evaluation padded to rc (uniform-shape property, pinned
+    by tests)."""
+    lang_key = (tuple(sorted(str(s) for s, _ in lang.cproc_specs()))
+                if lang is not None and len(lang) else ())
+    key = (store.field.name, rc, lang_key)
+    pp = _CYCLE_PP_CACHE.get(key)
+    if pp is not None:
+        return pp
+    synths = lang.circuit_synthesizers() if lang is not None else None
+    step_fn = multiframe_step_fn(lurk_step, store, synths)
+    nil = store.intern_nil()
+    frames = ev.evaluate(None, nil, store, rc)
+    store.hydrate_z_cache()
+    mfs = MultiFrame.from_frames(frames, rc, lurk_step, store, lang)
+    dummy_z0 = mfs[0].z_in
+    pp = CyclePublicParams.setup(store.field, 6, step_fn, dummy_z0,
+                                 mfs[0].frames)
+    _CYCLE_PP_CACHE[key] = pp
+    return pp
+
+
+@dataclasses.dataclass
+class CycleNovaProver:
+    """IVC prover: one augmented fold step per rc-frame chunk."""
+
+    rc: int = 10
+    lang: Optional[ev.Lang] = None
+    check_steps: bool = False
+
+    def step_func(self) -> ir.Func:
+        if self.lang is not None and len(self.lang):
+            from ..lem.eval_step import make_eval_step
+            return make_eval_step(tuple(self.lang.cproc_specs()), True)
+        return eval_step()
+
+    def evaluate_and_prove(self, store: Store, expr: Ptr,
+                           limit: int = 10000
+                           ) -> Tuple[CyclePublicParams, CycleProof,
+                                      List[Frame]]:
+        lang_setup = None
+        if self.lang is not None and len(self.lang):
+            lang_setup = ev.LangSetup.ivc(self.lang)
+        frames = ev.evaluate(lang_setup, expr, store, limit)
+        pp, proof = self.prove_from_frames(store, frames)
+        return pp, proof, frames
+
+    def prove_from_frames(self, store: Store, frames: List[Frame]
+                          ) -> Tuple[CyclePublicParams, CycleProof]:
+        assert frames
+        store.hydrate_z_cache()
+        step = self.step_func()
+        mframes = MultiFrame.from_frames(frames, self.rc, step, store,
+                                         self.lang)
+        pp = cycle_public_params(store, self.rc, step, self.lang)
+        snark = CycleSNARK(pp, mframes[0].z_in)
+        for mf in mframes:
+            snark.prove_step(mf.z_out, step_aux=mf.frames,
+                             check=self.check_steps)
+        return pp, snark.finish()
+
+    @staticmethod
+    def verify(pp: CyclePublicParams, proof: CycleProof) -> bool:
+        return cycle_verify(pp, proof)
+
+
+# ---------------------------------------------------------------------------
+# Compression: Spartan/IPA over both final accumulators -> O(log) proof
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class CompressedCycleProof:
+    n: int
+    z0: List[int]
+    zn: List[int]
+    u1: RelaxedInstance
+    u2: RelaxedInstance
+    u2_pending: R1CSInstance
+    comm_t_last: object
+    spartan1: spartan.SpartanProof
+    spartan2: spartan.SpartanProof
+
+
+def _side_pp(pp: CyclePublicParams, which: int) -> PublicParams:
+    if which == 1:
+        return PublicParams(pp.shape1, pp.curve1, pp.ck1)
+    return PublicParams(pp.shape2, pp.curve2, pp.ck2)
+
+
+def compress_cycle(pp: CyclePublicParams, proof: CycleProof
+                   ) -> CompressedCycleProof:
+    sp1 = spartan.prove(_side_pp(pp, 1), proof.u1, proof.w1)
+    r2 = cycle_fold_challenge(pp.curve2, pp.pp_digest, proof.u2,
+                              proof.u2_pending, proof.comm_t_last)
+    u2f = fold_instance(pp.curve2, proof.u2, proof.u2_pending,
+                        proof.comm_t_last, r2, pp.field2.modulus)
+    sp2 = spartan.prove(_side_pp(pp, 2), u2f, proof.w2_folded)
+    return CompressedCycleProof(proof.n, list(proof.z0), list(proof.zn),
+                                proof.u1, proof.u2, proof.u2_pending,
+                                proof.comm_t_last, sp1, sp2)
+
+
+def verify_compressed_cycle(pp: CyclePublicParams,
+                            cp: CompressedCycleProof) -> bool:
+    if cp.n <= 0:
+        return False
+    if len(cp.u2_pending.x) != 2 or len(cp.u1.x) != 2 or \
+            len(cp.u2.x) != 2:
+        return False
+    if len(cp.z0) != pp.io_arity or len(cp.zn) != pp.io_arity:
+        return False
+    h_n = cycle_state_hash(pp.curve2, pp.pp_digest, cp.n, cp.z0, cp.zn,
+                           cp.u2, cp.u2_pending.x[0])
+    g_n = cycle_state_hash(pp.curve1, pp.pp_digest, cp.n, [], [],
+                           cp.u1, h_n)
+    if cp.u2_pending.x[1] != g_n:
+        return False
+    r2 = cycle_fold_challenge(pp.curve2, pp.pp_digest, cp.u2,
+                              cp.u2_pending, cp.comm_t_last)
+    u2f = fold_instance(pp.curve2, cp.u2, cp.u2_pending, cp.comm_t_last,
+                        r2, pp.field2.modulus)
+    if not spartan.verify(_side_pp(pp, 1), cp.u1, cp.spartan1):
+        return False
+    if not spartan.verify(_side_pp(pp, 2), u2f, cp.spartan2):
+        return False
+    return True
