@@ -37,8 +37,10 @@ def main(argv=None) -> int:
         p.add_argument("--field", default="bn256", choices=list(FIELDS),
                        help="Lurk field")
         p.add_argument("--backend", default="nova-fold",
-                       choices=["nova-fold", "supernova-fold"],
-                       help="folding backend")
+                       choices=["nova", "nova-fold", "supernova-fold"],
+                       help="folding backend (nova = O(1) augmented-"
+                            "circuit IVC on the curve cycle; nova-fold ="
+                            " fold chain with recomputing verifier)")
         p.add_argument("--compress", action="store_true",
                        help="Spartan/IPA-compress proofs before "
                             "persisting (reference default; slower)")

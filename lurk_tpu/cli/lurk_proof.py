@@ -192,6 +192,89 @@ def compressed_nivc_from_json(d: dict):
                                [int(v, 16) for v in d["zi"]])
 
 
+def _relaxed_to_json(u) -> dict:
+    return {"comm_w": _pt(u.comm_w), "comm_e": _pt(u.comm_e),
+            "x": [f"{v:x}" for v in u.x], "u": f"{u.u:x}"}
+
+
+def _relaxed_from_json(d: dict):
+    from ..proof.nova import RelaxedInstance
+    return RelaxedInstance(_un_pt(d["comm_w"]), _un_pt(d["comm_e"]),
+                           [int(v, 16) for v in d["x"]], int(d["u"], 16))
+
+
+def _relaxed_wit_to_json(w) -> dict:
+    return {"w": [f"{v:x}" for v in w.w], "e": [f"{v:x}" for v in w.e]}
+
+
+def _relaxed_wit_from_json(d: dict):
+    return RelaxedWitness([int(v, 16) for v in d["w"]],
+                          [int(v, 16) for v in d["e"]])
+
+
+def cycle_proof_to_json(proof) -> dict:
+    """prover_cycle CycleProof (O(1) augmented-circuit IVC) -> json."""
+    return {
+        "n": proof.n,
+        "z0": [f"{v:x}" for v in proof.z0],
+        "zn": [f"{v:x}" for v in proof.zn],
+        "u1": _relaxed_to_json(proof.u1),
+        "w1": _relaxed_wit_to_json(proof.w1),
+        "u2": _relaxed_to_json(proof.u2),
+        "u2_pending": {"comm_w": _pt(proof.u2_pending.comm_w),
+                       "x": [f"{v:x}" for v in proof.u2_pending.x]},
+        "comm_t_last": _pt(proof.comm_t_last),
+        "w2_folded": _relaxed_wit_to_json(proof.w2_folded),
+    }
+
+
+def cycle_proof_from_json(d: dict):
+    from ..proof.nova_cycle import CycleProof
+    return CycleProof(
+        d["n"],
+        [int(v, 16) for v in d["z0"]],
+        [int(v, 16) for v in d["zn"]],
+        _relaxed_from_json(d["u1"]),
+        _relaxed_wit_from_json(d["w1"]),
+        _relaxed_from_json(d["u2"]),
+        R1CSInstance(_un_pt(d["u2_pending"]["comm_w"]),
+                     [int(v, 16) for v in d["u2_pending"]["x"]]),
+        _un_pt(d["comm_t_last"]),
+        _relaxed_wit_from_json(d["w2_folded"]),
+    )
+
+
+def compressed_cycle_to_json(cp) -> dict:
+    return {
+        "n": cp.n,
+        "z0": [f"{v:x}" for v in cp.z0],
+        "zn": [f"{v:x}" for v in cp.zn],
+        "u1": _relaxed_to_json(cp.u1),
+        "u2": _relaxed_to_json(cp.u2),
+        "u2_pending": {"comm_w": _pt(cp.u2_pending.comm_w),
+                       "x": [f"{v:x}" for v in cp.u2_pending.x]},
+        "comm_t_last": _pt(cp.comm_t_last),
+        "spartan1": _spartan_to_json(cp.spartan1),
+        "spartan2": _spartan_to_json(cp.spartan2),
+    }
+
+
+def compressed_cycle_from_json(d: dict):
+    from ..proof.prover_cycle import CompressedCycleProof
+    return CompressedCycleProof(
+        d["n"],
+        [int(v, 16) for v in d["z0"]],
+        [int(v, 16) for v in d["zn"]],
+        _relaxed_from_json(d["u1"]),
+        _relaxed_from_json(d["u2"]),
+        R1CSInstance(_un_pt(d["u2_pending"]["comm_w"]),
+                     [int(v, 16) for v in d["u2_pending"]["x"]]),
+        _un_pt(d["comm_t_last"]),
+        _spartan_from_json(d["spartan1"]),
+        _spartan_from_json(d["spartan2"]),
+    )
+
+
 def proof_from_json(d: dict) -> FoldingProof:
     steps = [
         (R1CSInstance(_un_pt(s["comm_w"]),
@@ -223,7 +306,11 @@ class LurkProof:
     def persist(self, proof_key: str) -> Path:
         path = proofs_dir() / f"{proof_key}.proof.json"
         nivc = self.backend.startswith("supernova")
-        if self.kind == "compressed":
+        if self.backend == "nova":
+            proof_json = (compressed_cycle_to_json(self.proof)
+                          if self.kind == "compressed"
+                          else cycle_proof_to_json(self.proof))
+        elif self.kind == "compressed":
             proof_json = (compressed_nivc_to_json(self.proof) if nivc
                           else compressed_proof_to_json(self.proof))
         else:
@@ -246,7 +333,11 @@ class LurkProof:
         d = json.loads(path.read_text())
         nivc = d["backend"].startswith("supernova")
         kind = d.get("kind", "recursive")
-        if kind == "compressed":
+        if d["backend"] == "nova":
+            proof = (compressed_cycle_from_json(d["proof"])
+                     if kind == "compressed"
+                     else cycle_proof_from_json(d["proof"]))
+        elif kind == "compressed":
             proof = (compressed_nivc_from_json(d["proof"]) if nivc
                      else compressed_proof_from_json(d["proof"]))
         else:

@@ -135,7 +135,19 @@ class Repl:
         proof_key = self.proof_key(claim_hash)
         if not LurkProof.is_cached(proof_key):
             kind = "recursive"
-            if self.backend.startswith("supernova"):
+            if self.backend == "nova":
+                from ..proof import prover_cycle as pcy
+                prover = pcy.CycleNovaProver(rc=self.rc, lang=self.lang)
+                pp, proof = prover.prove_from_frames(s, frames)
+                if self.compress:
+                    proof = pcy.compress_cycle(pp, proof)
+                    kind = "compressed"
+                    assert pcy.verify_compressed_cycle(pp, proof), \
+                        "self-check failed"
+                else:
+                    assert pcy.CycleNovaProver.verify(pp, proof), \
+                        "self-check failed"
+            elif self.backend.startswith("supernova"):
                 from ..proof.supernova import SuperNovaProver
                 from ..proof import supernova as sn
                 prover = SuperNovaProver(rc=self.rc, lang=self.lang)
@@ -180,7 +192,16 @@ class Repl:
         lp = LurkProof.load(proof_key)
         if lp is None:
             raise ReplError(f"proof {proof_key} not found")
-        if lp.backend.startswith("supernova"):
+        if lp.backend == "nova":
+            from ..proof import prover_cycle as pcy
+            prover = pcy.CycleNovaProver(rc=lp.rc, lang=self.lang)
+            pp = pcy.cycle_public_params(self.store, lp.rc,
+                                         prover.step_func(), self.lang)
+            if lp.kind == "compressed":
+                ok = pcy.verify_compressed_cycle(pp, lp.proof)
+            else:
+                ok = pcy.CycleNovaProver.verify(pp, lp.proof)
+        elif lp.backend.startswith("supernova"):
             from ..proof import supernova as sn
             from ..proof.supernova import SuperNovaProver
             prover = SuperNovaProver(rc=lp.rc, lang=self.lang)
