@@ -238,6 +238,37 @@ def product_cols(a: List, b: List) -> List:
     return cols
 
 
+def square_cols(a: List) -> List:
+    """Squaring-specialized product_cols: x^2 column sums with
+    n*(n+1)/2 multiplies instead of n^2 (off-diagonal products counted
+    once and doubled). Bound check: per column the doubled hi/lo terms
+    are < 2*len*2^17 << 2^32 for len <= 17."""
+    n = len(a)
+    cols: List = [None] * (2 * n + 1)
+
+    def acc(k, v):
+        cols[k] = v if cols[k] is None else cols[k] + v
+
+    for i in range(n):
+        ai = a[i]
+        # diagonal
+        prod = ai * ai
+        acc(2 * i, prod & LIMB_MASK)
+        acc(2 * i + 1, prod >> LIMB_BITS)
+        for j in range(i + 1, n):
+            prod = ai * a[j]
+            acc(i + j, (prod & LIMB_MASK) << 1)
+            acc(i + j + 1, (prod >> LIMB_BITS) << 1)
+    z = None
+    for k in range(len(cols)):
+        if cols[k] is None:
+            if z is None:
+                z = jnp.zeros_like(cols[0] if cols[0] is not None
+                                   else cols[1])
+            cols[k] = z
+    return cols
+
+
 # ---------------------------------------------------------------------------
 # planes <-> limbs (Mosaic-safe: concat / slice / shift only)
 # ---------------------------------------------------------------------------
@@ -259,6 +290,25 @@ def merge_planes(planes, nlimbs: int) -> List:
     """[2*nlimbs, ...] uint32 planes-order columns -> base-2^16 column
     sums (length nlimbs). Caller guarantees lo + 256*hi < 2^32."""
     return [planes[i] + (planes[nlimbs + i] << 8) for i in range(nlimbs)]
+
+
+def merge_planes_split(planes, nlimbs: int) -> List:
+    """merge_planes for ACCUMULATED planes (values up to ~2^28): the hi
+    plane's top bits spill into the next column instead of overflowing
+    the 8-bit shift. Returns nlimbs+1 columns, each < lo + 2^16 + 2^20:
+
+        col[i]   += planes[i] + ((hi_i & 0xFF) << 8)
+        col[i+1] += hi_i >> 8
+    """
+    cols = [None] * (nlimbs + 1)
+    for i in range(nlimbs):
+        hi = planes[nlimbs + i]
+        v = planes[i] + ((hi & 0xFF) << 8)
+        cols[i] = v if cols[i] is None else cols[i] + v
+        spill = hi >> 8
+        cols[i + 1] = spill
+    return [c if c is not None else jnp.zeros_like(planes[0])
+            for c in cols]
 
 
 def const_matmul(mat, planes_bf16):

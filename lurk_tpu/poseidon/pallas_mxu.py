@@ -110,8 +110,8 @@ def _sbox_el(f, redc_mats, x: List) -> List:
     one REDC matmul pair per stage fails to lower (1-D tpu.concatenate
     of 512-lane vectors is unsupported), so the S-box stays
     per-element."""
-    x2 = LZ.redc(f, LZ.product_cols(x, x), redc_mats)
-    x4 = LZ.redc(f, LZ.product_cols(x2, x2), redc_mats)
+    x2 = LZ.redc(f, LZ.square_cols(x), redc_mats)
+    x4 = LZ.redc(f, LZ.square_cols(x2), redc_mats)
     return LZ.redc(f, LZ.product_cols(x4, x), redc_mats)
 
 
@@ -243,6 +243,286 @@ def build_pallas_mxu_hasher(field: FieldSpec, arity: int,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((16, b), jnp.uint32),
         )(rc_dev, nprime_dev, p_dev, r2_dev, *mds_dev, preimages)
+
+    return hasher
+
+
+# ---------------------------------------------------------------------------
+# Optimized partial rounds (constant-folded linear layers, partial_opt.py)
+# ---------------------------------------------------------------------------
+
+S_ROWS = 48          # delta-buffer element stride (rows); multiple of 16
+                     # for bf16 sublane-aligned dynamic offsets
+CHUNK_ELS = 5        # elements per matmul chunk: 5*S_ROWS=240 <= 257
+                     # f32-exact contraction terms (limbs17.MAX_MATMUL_TERMS)
+
+
+@lru_cache(maxsize=None)
+def _partial_opt_constants(field: FieldSpec, arity: int):
+    """Constant matrices for the folded partial span (Montgomery form).
+
+    Returns (sched, gmats [K,68,240] chunked sliding-window coeffs,
+    amats [rp,68,t*S], beta [rp,L] u32, recon_a [t*68,t*S],
+    recon_w [K,t*68,240], bvec [t,L] u32, n_chunks)."""
+    from .partial_opt import partial_schedule
+    spec = poseidon_spec(field, arity)
+    f = LZ.lazy_field(field)
+    sched = partial_schedule(field, arity)
+    t, rp = spec.width, sched.rp
+    n_chunks = -(-rp // CHUNK_ELS)
+    pad_slots = n_chunks * CHUNK_ELS
+
+    def tz(c):
+        return _toeplitz_block(f.to_mont_int(int(c)))       # [68, D]
+
+    # sliding window: for round r, window slot j (j=0..pad_slots-1,
+    # covering delta_{r+1-rp+j}) has coefficient gamma_{rp-2-j} for
+    # j <= rp-2, zero for j >= rp-1 (the delta of the current round)
+    gmat = np.zeros((68, pad_slots * S_ROWS), dtype=np.float32)
+    for j in range(rp - 1):
+        gmat[:, j * S_ROWS:j * S_ROWS + LZ.D] = tz(sched.gamma[rp - 2 - j])
+    gmats = np.stack([
+        gmat[:, k * CHUNK_ELS * S_ROWS:(k + 1) * CHUNK_ELS * S_ROWS]
+        for k in range(n_chunks)])                           # [K, 68, 240]
+
+    amats = np.zeros((rp, 2 * (2 * LZ.L), t * S_ROWS), dtype=np.float32)
+    for r in range(rp):
+        for i in range(t):
+            amats[r][:, i * S_ROWS:i * S_ROWS + LZ.D] = \
+                tz(sched.alpha[r][i])
+
+    beta = np.stack([LZ._int_to_limbs17(f.to_mont_int(b))
+                     for b in sched.beta])                   # [rp, L]
+
+    recon_a = np.zeros((t * 68, t * S_ROWS), dtype=np.float32)
+    for i in range(t):
+        for k in range(t):
+            recon_a[i * 68:(i + 1) * 68,
+                    k * S_ROWS:k * S_ROWS + LZ.D] = tz(sched.a_mat[i][k])
+    recon_w = np.zeros((t * 68, pad_slots * S_ROWS), dtype=np.float32)
+    for i in range(t):
+        for q in range(rp):
+            recon_w[i * 68:(i + 1) * 68,
+                    q * S_ROWS:q * S_ROWS + LZ.D] = tz(sched.w_mat[i][q])
+    recon_ws = np.stack([
+        recon_w[:, k * CHUNK_ELS * S_ROWS:(k + 1) * CHUNK_ELS * S_ROWS]
+        for k in range(n_chunks)])                           # [K, t*68, 240]
+    bvec = np.stack([LZ._int_to_limbs17(f.to_mont_int(b))
+                     for b in sched.b_vec])                  # [t, L]
+    return sched, gmats, amats, beta, recon_a, recon_ws, bvec, n_chunks
+
+
+def _planes48(limbs: List):
+    """17 exact-limb registers -> [S_ROWS, tile] bf16 digit planes padded
+    with zero rows (planes order, limbs17 convention)."""
+    planes = LZ.to_planes_bf16(limbs)                        # [34, tile]
+    pad = jnp.zeros((S_ROWS - 2 * LZ.L, planes.shape[-1]),
+                    dtype=jnp.bfloat16)
+    return jnp.concatenate([planes, pad], axis=0)
+
+
+def build_pallas_mxu_opt_hasher(field: FieldSpec, arity: int,
+                                tile: int = 256):
+    """Fourth-generation kernel: pallas_mxu plus the constant-folded
+    partial span (partial_opt.py). Per partial round: one sliding-window
+    MXU dot over past S-box outputs + a 1-element S-box — instead of a
+    full-state MDS + 5-element REDC. hash(preimages: uint32[arity,16,B])
+    -> uint32[16,B]."""
+    spec, f, rc_np, mats_np, bounds, tag_limbs = \
+        _pallas_mxu_constants(field, arity)
+    (sched, gmats_np, amats_np, beta_np, recon_a_np, recon_ws_np,
+     bvec_np, n_chunks) = _partial_opt_constants(field, arity)
+    t = spec.width
+    # the s_a matmuls contract t*S_ROWS terms in one shot; f32-exactness
+    # needs <= MAX_MATMUL_TERMS (257) -> t <= 5 (arity <= 4) for now
+    assert t * S_ROWS <= LZ.MAX_MATMUL_TERMS, \
+        f"arity {arity}: s_a matmul needs chunking (use the base kernel)"
+    half = spec.full_rounds // 2
+    rp = spec.partial_rounds
+    pad_slots = n_chunks * CHUNK_ELS
+    # delta buffer layout: slots 0..rp-1 zeros, slots rp..2rp-1 deltas,
+    # then chunk-overrun padding; window for round r = slots r+1..r+pad
+    n_slots = rp + pad_slots
+    n_mds = len(mats_np)
+
+    def kernel(rc_ref, nprime_ref, p_ref, r2_ref, beta_ref, bvec_ref,
+               *rest):
+        mds_refs = rest[:n_mds]
+        gmats_ref, amats_ref, recon_a_ref, recon_ws_ref = \
+            rest[n_mds:n_mds + 4]
+        in_ref, out_ref = rest[n_mds + 4], rest[n_mds + 5]
+        delta_ref, sa_ref = rest[n_mds + 6], rest[n_mds + 7]
+        redc_mats = (nprime_ref[...], p_ref[...])
+        mats = [m_ref[...] for m_ref in mds_refs]
+        bt = in_ref.shape[-1]
+
+        def unstack_state(arr):
+            return [[arr[e * LZ.L + k] for k in range(LZ.L)]
+                    for e in range(t)]
+
+        def stack_state(state):
+            return jnp.stack([state[e][k] for e in range(t)
+                              for k in range(LZ.L)], axis=0)
+
+        def add_rc(state, r):
+            row = rc_ref[r]
+            out = []
+            for e in range(t):
+                cols = [state[e][k] + row[e * LZ.L + k]
+                        for k in range(LZ.L)]
+                out.append(LZ.carry(cols, LZ.L))
+            return out
+
+        def full_round(r, st_arr):
+            state = unstack_state(st_arr)
+            state = add_rc(state, r)
+            state = [_sbox_el(f, redc_mats, x) for x in state]
+            state = _mds(f, redc_mats, mats, bounds, state)
+            return stack_state(state)
+
+        def partial_round(r, _):
+            # u0 = alpha_r . s_a + beta_r + sliding-window gamma . deltas
+            acc = jax.lax.dot_general(
+                amats_ref[r], sa_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32).astype(jnp.uint32)           # [68, bt]
+            # first chunk whose 5-slot span [r+1+5k, r+5+5k] reaches the
+            # populated delta region (slots >= rp): k0 = ceil((rp-r-5)/5)
+            k0 = jnp.maximum(0, (rp - r - 1) // CHUNK_ELS)
+
+            def chunk(k, acc):
+                win = delta_ref[
+                    pl.ds((r + 1) * S_ROWS + k * (CHUNK_ELS * S_ROWS),
+                          CHUNK_ELS * S_ROWS), :]
+                out = jax.lax.dot_general(
+                    gmats_ref[k], win,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.int32).astype(jnp.uint32)
+                return acc + out
+
+            # chunks past floor((rp-2)/5) only ever cover the yet-unwritten
+            # delta_r slot and the zero padding beyond it
+            acc = jax.lax.fori_loop(k0, (rp - 2) // CHUNK_ELS + 1, chunk,
+                                    acc)
+            # accumulated planes reach ~12*2^24: split-merge avoids the
+            # 256*hi uint32 overflow of plain merge_planes
+            cols = LZ.merge_planes_split(acc, 2 * LZ.L)
+            u0 = LZ.redc(f, cols, redc_mats)
+            brow = beta_ref[r]
+            u0 = LZ.carry([u0[k] + brow[k] for k in range(LZ.L)], LZ.L)
+            x2 = LZ.redc(f, LZ.square_cols(u0), redc_mats)
+            x4 = LZ.redc(f, LZ.square_cols(x2), redc_mats)
+            x5 = LZ.redc(f, LZ.product_cols(x4, u0), redc_mats)
+            delta_ref[pl.ds((rp + r) * S_ROWS, S_ROWS), :] = _planes48(x5)
+            return 0
+
+        # ---- load + to-Montgomery ----
+        elements = []
+        for a in range(arity):
+            limbs = [in_ref[a, k] for k in range(16)]
+            limbs.append(jnp.zeros((bt,), dtype=jnp.uint32))
+            cols = LZ.merge_planes(
+                LZ.const_matmul(r2_ref[...], LZ.to_planes_bf16(limbs)),
+                2 * LZ.L)
+            elements.append(LZ.redc(f, cols, redc_mats))
+        tag = [jnp.full((bt,), int(tag_limbs[k]), dtype=jnp.uint32)
+               for k in range(LZ.L)]
+        st = stack_state([tag] + elements)
+        # ---- first half full rounds ----
+        st = jax.lax.fori_loop(0, half, full_round, st)
+        # ---- folded partial span ----
+        state = unstack_state(st)
+        delta_ref[...] = jnp.zeros(delta_ref.shape, delta_ref.dtype)
+        for i in range(t):
+            sa_ref[pl.ds(i * S_ROWS, S_ROWS), :] = _planes48(state[i])
+        jax.lax.fori_loop(0, rp, partial_round, 0)
+        # reconstruction: s_out = A s_a + B + W deltas
+        acc = jax.lax.dot_general(
+            recon_a_ref[...], sa_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32).astype(jnp.uint32)               # [t*68, bt]
+
+        def recon_chunk(k, acc):
+            win = delta_ref[pl.ds(rp * S_ROWS + k * (CHUNK_ELS * S_ROWS),
+                                  CHUNK_ELS * S_ROWS), :]
+            out = jax.lax.dot_general(
+                recon_ws_ref[k], win,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32).astype(jnp.uint32)
+            return acc + out
+
+        acc = jax.lax.fori_loop(0, n_chunks, recon_chunk, acc)
+        state = []
+        for i in range(t):
+            cols = LZ.merge_planes_split(
+                [acc[i * 68 + j] for j in range(68)], 2 * LZ.L)
+            el = LZ.redc(f, cols, redc_mats)
+            brow = bvec_ref[i]
+            state.append(LZ.carry(
+                [el[k] + brow[k] for k in range(LZ.L)], LZ.L))
+        st = stack_state(state)
+        # ---- second half full rounds ----
+        st = jax.lax.fori_loop(half + rp, half + rp + half, full_round,
+                               st)
+        state = unstack_state(st)
+        digest = LZ.from_mont(f, state[1], redc_mats)
+        for k in range(16):
+            out_ref[k] = digest[k]
+
+    rc_dev = jnp.asarray(rc_np)
+    nprime_dev = jnp.asarray(f.nprime_mat, dtype=jnp.bfloat16)
+    p_dev = jnp.asarray(f.p_mat, dtype=jnp.bfloat16)
+    r2_dev = jnp.asarray(f.r2_mat, dtype=jnp.bfloat16)
+    beta_dev = jnp.asarray(beta_np)
+    bvec_dev = jnp.asarray(bvec_np)
+    mds_dev = [jnp.asarray(m, dtype=jnp.bfloat16) for m in mats_np]
+    gmats_dev = jnp.asarray(gmats_np, dtype=jnp.bfloat16)
+    amats_dev = jnp.asarray(amats_np, dtype=jnp.bfloat16)
+    recon_a_dev = jnp.asarray(recon_a_np, dtype=jnp.bfloat16)
+    recon_ws_dev = jnp.asarray(recon_ws_np, dtype=jnp.bfloat16)
+    n_rounds = rc_np.shape[0]
+
+    def _whole(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    def hasher(preimages):
+        b = preimages.shape[-1]
+        assert b % tile == 0, f"batch {b} not a multiple of {tile}"
+        grid = (b // tile,)
+        return pl.pallas_call(
+            kernel,
+            interpret=jax.default_backend() == "cpu",
+            grid=grid,
+            in_specs=[
+                _whole((n_rounds, t * LZ.L)),
+                _whole(nprime_dev.shape),
+                _whole(p_dev.shape),
+                _whole(r2_dev.shape),
+                _whole(beta_dev.shape),
+                _whole(bvec_dev.shape),
+                *[_whole(m.shape) for m in mds_dev],
+                _whole(gmats_dev.shape),
+                _whole(amats_dev.shape),
+                _whole(recon_a_dev.shape),
+                _whole(recon_ws_dev.shape),
+                pl.BlockSpec((arity, 16, tile), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((16, tile), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((16, b), jnp.uint32),
+            scratch_shapes=[
+                pltpu.VMEM((n_slots * S_ROWS, tile), jnp.bfloat16),
+                pltpu.VMEM((t * S_ROWS, tile), jnp.bfloat16),
+            ],
+        )(rc_dev, nprime_dev, p_dev, r2_dev, beta_dev, bvec_dev,
+          *mds_dev, gmats_dev, amats_dev, recon_a_dev, recon_ws_dev,
+          preimages)
 
     return hasher
 
