@@ -211,13 +211,24 @@ class Scope:
             transcript.add(provenances[key])
 
         removal_counts: Dict[Ptr, int] = {}
+        dummy_prov = Provenance.dummy(s).to_ptr(s)
         for index in sorted(unique_keys):
-            for key in unique_keys[index]:
-                kv = kvs_by_key[key]
-                count = self.multiset.get(kv, 0)
-                removal_counts[key] = count
-                transcript.add(Transcript.make_provenance_count(
-                    s, provenances[key], count))
+            keys = unique_keys[index]
+            rc = self.default_rc
+            # chunks padded to rc with (dummy, 0) entries — the NIVC
+            # circuit emits one removal per key SLOT including dummies,
+            # so the host transcript must match (mod.rs:805-829)
+            for start in range(0, len(keys), rc):
+                chunk = keys[start:start + rc]
+                for key in chunk:
+                    kv = kvs_by_key[key]
+                    count = self.multiset.get(kv, 0)
+                    removal_counts[key] = count
+                    transcript.add(Transcript.make_provenance_count(
+                        s, provenances[key], count))
+                for _ in range(rc - len(chunk)):
+                    transcript.add(Transcript.make_provenance_count(
+                        s, dummy_prov, 0))
 
         self.transcript = transcript
         self.r = transcript.r()
@@ -227,6 +238,30 @@ class Scope:
         # derives from them); verification must use this snapshot
         self._removal_counts = removal_counts
         return transcript
+
+    # -- NIVC z0 components (prove.rs:233-241) -------------------------------
+
+    def init_memoset(self) -> int:
+        """LogUp accumulator value after the toplevel insertions
+        (mod.rs:399-407); the NIVC steps drive it back to zero."""
+        s = self.store
+        p = s.field.modulus
+        r = self.r
+        acc = 0
+        for kv in self.toplevel_insertions:
+            key, _ = s.car_cdr_simple(kv)
+            x = s.hash_ptr(self._provenances[key]).digest
+            acc = (acc + pow((r + x) % p, p - 2, p)) % p
+        return acc
+
+    def init_transcript_ptr(self) -> Ptr:
+        """Transcript holding only the toplevel provenance insertions."""
+        s = self.store
+        t = Transcript(s)
+        for kv in self.toplevel_insertions:
+            key, _ = s.car_cdr_simple(kv)
+            t.add(self._provenances[key])
+        return t.acc
 
     # -- LogUp balance check ---------------------------------------------------
 
