@@ -26,6 +26,10 @@ from ..tags import ExprTag
 
 def hash_nums(synth: Synthesizer, preimage: Sequence[Num]) -> Num:
     """Dedicated Poseidon instance over `len(preimage)` field elements."""
+    if synth.cs.witness_only:
+        from ..poseidon.circuit import poseidon_witness
+        return poseidon_witness(synth.cs, synth.store.field,
+                                list(preimage))
     return poseidon_circuit(synth.cs, synth.store.field, list(preimage))
 
 

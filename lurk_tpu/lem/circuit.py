@@ -81,6 +81,9 @@ def allocate_slot(cs: ConstraintSystem, slot_data, slot_type: str,
         preimg = [alloc_num(cs, 0) for _ in range(PREIMG_SIZE[slot_type])]
     if slot_type == BIT_DECOMP:
         img: object = to_bits_le_strict(cs, preimg[0])
+    elif cs.witness_only:
+        from ..poseidon.circuit import poseidon_witness
+        img = poseidon_witness(cs, store.field, preimg)
     else:
         img = poseidon_circuit(cs, store.field, preimg)
     return preimg, img

@@ -88,7 +88,27 @@ def poseidon_circuit(cs: ConstraintSystem, field: FieldSpec,
     return state[1]
 
 
+def poseidon_witness(cs: ConstraintSystem, field: FieldSpec,
+                     preimage: Sequence[Num]) -> Num:
+    """Witness-only fast path (neptune circuit2_witness
+    `poseidon_hash_allocated_witness` parity, /root/reference/src/circuit/
+    gadgets/hashes.rs:6): pushes the identical aux trace as
+    :func:`poseidon_circuit` (values only, no linear-combination algebra
+    — the dominant cost of full synthesis) and returns the digest value.
+    Only valid on a ``witness_only`` ConstraintSystem."""
+    assert cs.witness_only
+    trace, digest = witness_trace_and_digest(
+        field, [x.value for x in preimage])
+    cs.aux.extend(trace)
+    return Num({}, digest)
+
+
 def witness_trace(field: FieldSpec, preimage: Sequence[int]) -> List[int]:
+    return witness_trace_and_digest(field, preimage)[0]
+
+
+def witness_trace_and_digest(field: FieldSpec,
+                             preimage: Sequence[int]):
     """Host oracle for the aux trace of :func:`poseidon_circuit` in
     allocation order; the batched device kernel must reproduce this."""
     spec = poseidon_spec(field, len(preimage))
@@ -124,4 +144,4 @@ def witness_trace(field: FieldSpec, preimage: Sequence[int]) -> List[int]:
         state = [(x + rc[off + i]) % p for i, x in enumerate(state)]
         off += t
         state = mds([sbox(x) for x in state])
-    return trace
+    return trace, state[1]

@@ -101,10 +101,17 @@ class MultiFrame:
 
     def instance(self, lurk_step: ir.Func, store: Store,
                  shape_check: bool = False,
-                 cproc_synthesizers: Optional[Dict] = None
+                 cproc_synthesizers: Optional[Dict] = None,
+                 witness_only: bool = False
                  ) -> Tuple[List[int], List[int], ConstraintSystem]:
-        """(x, w, cs) for the folding layer."""
-        cs = ConstraintSystem(store.field, check=shape_check)
+        """(x, w, cs) for the folding layer. With witness_only the
+        Poseidon slots skip all linear-combination algebra (~30x faster;
+        WitnessCS parity, multiframe.rs:653-702) — the returned cs
+        carries no shape. Witness equality with the full path is pinned
+        by tests (the reference's keystone `mismatch` check,
+        proof/tests/mod.rs:247-248)."""
+        cs = ConstraintSystem(store.field, check=shape_check,
+                              witness_only=witness_only)
         self.synthesize(cs, lurk_step, store, cproc_synthesizers)
         return cs.inputs[1:], list(cs.aux), cs
 

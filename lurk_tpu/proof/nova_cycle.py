@@ -215,7 +215,8 @@ class CycleSNARK:
             h_in=self.h, h_out=h_next, pp=pp.pp_digest, i=self.i,
             z0=self.z0, zi=self.zi, acc=self.U2, new_w=u2.comm_w,
             new_x=list(u2.x), comm_t=comm_t2, step_aux=step_aux)
-        cs1 = ConstraintSystem(pp.field1, check=check)
+        cs1 = ConstraintSystem(pp.field1, check=check,
+                               witness_only=not check)
         z_next_nums = synthesize_augmented(cs1, pp.cfg1, wit1)
         assert [n.value for n in z_next_nums] == zi_next, \
             "step function output does not match claimed z_next"
@@ -242,7 +243,8 @@ class CycleSNARK:
             h_in=self.g, h_out=g_next, pp=pp.pp_digest, i=self.i,
             z0=[], zi=[], acc=self.U1, new_w=u1.comm_w,
             new_x=list(u1.x), comm_t=comm_t1)
-        cs2 = ConstraintSystem(pp.field2, check=check)
+        cs2 = ConstraintSystem(pp.field2, check=check,
+                               witness_only=not check)
         synthesize_augmented(cs2, pp.cfg2, wit2)
         if check:
             assert R1CSShape(cs2).digest == pp.shape2.digest, \

@@ -94,7 +94,8 @@ class NovaProver:
             for mf in mframes:
                 x, w, _ = mf.instance(step, store,
                                       shape_check=self.check_steps,
-                                      cproc_synthesizers=synths)
+                                      cproc_synthesizers=synths,
+                                      witness_only=not self.check_steps)
                 yield x, w
             return
         import multiprocessing as mp
@@ -103,7 +104,8 @@ class NovaProver:
         except ValueError:
             for mf in mframes:
                 x, w, _ = mf.instance(step, store,
-                                      shape_check=self.check_steps)
+                                      shape_check=self.check_steps,
+                                      witness_only=not self.check_steps)
                 yield x, w
             return
         global _WORKER_ARGS
@@ -126,5 +128,5 @@ _WORKER_ARGS: Optional[tuple] = None
 
 def _witness_worker(mf: MultiFrame):
     step, store = _WORKER_ARGS
-    x, w, _ = mf.instance(step, store)
+    x, w, _ = mf.instance(step, store, witness_only=True)
     return x, w

@@ -146,12 +146,15 @@ class SuperNovaProver:
         synths = self.lang.circuit_synthesizers()
         for step in steps:
             func = self._step_func(step.pc)
+            # full synthesis only for the first occurrence of each
+            # circuit index (shape); later steps run witness-only
+            wo = step.pc in shapes and not self.check_steps
             x, w, cs = step.mframe.instance(
                 func, store, shape_check=self.check_steps,
-                cproc_synthesizers=synths)
+                cproc_synthesizers=synths, witness_only=wo)
             if step.pc not in shapes:
                 shapes[step.pc] = R1CSShape(cs)
-            else:
+            elif not wo:
                 assert shapes[step.pc].digest == cs.shape_digest(), \
                     f"non-uniform circuit for pc={step.pc}"
             instances.append((step.pc, x, w))
