@@ -20,7 +20,7 @@ def make_repl(args):
     from .repl import Repl
     store = Store(FIELDS[args.field])
     return Repl(store, rc=args.rc, limit=args.limit,
-                backend=getattr(args, "backend", "nova-fold"),
+                backend=getattr(args, "backend", "supernova"),
                 compress=getattr(args, "compress", False))
 
 
@@ -36,11 +36,14 @@ def main(argv=None) -> int:
                        help="max evaluation iterations")
         p.add_argument("--field", default="bn256", choices=list(FIELDS),
                        help="Lurk field")
-        p.add_argument("--backend", default="nova-fold",
-                       choices=["nova", "nova-fold", "supernova-fold"],
-                       help="folding backend (nova = O(1) augmented-"
-                            "circuit IVC on the curve cycle; nova-fold ="
-                            " fold chain with recomputing verifier)")
+        p.add_argument("--backend", default="supernova",
+                       choices=["nova", "supernova", "nova-fold",
+                                "supernova-fold"],
+                       help="folding backend (reference parity: "
+                            "supernova = NIVC [default], nova = O(1) "
+                            "augmented-circuit IVC on the curve cycle; "
+                            "*-fold = fold chains with recomputing "
+                            "verifier)")
         p.add_argument("--compress", action="store_true",
                        help="Spartan/IPA-compress proofs before "
                             "persisting (reference default; slower)")

@@ -300,7 +300,7 @@ class LurkProof:
     proof: object
     rc: int
     field: str
-    backend: str = "nova-fold"
+    backend: str = "supernova"
     kind: str = "recursive"
 
     def persist(self, proof_key: str) -> Path:

@@ -43,7 +43,7 @@ class ReplError(Exception):
 
 class Repl:
     def __init__(self, store: Store, rc: int = 10, limit: int = 100_000_000,
-                 backend: str = "nova-fold", compress: bool = False):
+                 backend: str = "supernova", compress: bool = False):
         self.store = store
         self.state = State.init_lurk_state()
         self.rc = rc
@@ -514,13 +514,24 @@ class Repl:
         self._meta_def(s.list([sym_ptr, s.list([quote, ptr])]))
 
     def _meta_call(self, args: Ptr) -> None:
-        callable_expr, arg_expr = self._args(args, 2)
-        callable_ = self.eval_expr(callable_expr)[0]
+        """Build ((open <hash>) <args>...) exactly like the reference
+        (meta_cmd.rs fn call) — the claim binds the INPUT expression, so
+        its shape must match for proof-key parity with the demos."""
+        s = self.store
+        hash_expr, rest = s.car_cdr_simple(args)
+        callable_ = self.eval_expr(hash_expr)[0]
         if callable_.tag in (ExprTag.Comm, ExprTag.Num):
             digest = self._comm_digest(callable_)
             if not self.store.can_open(digest):
                 Commitment.load(digest, self.store)
-        call_expr = self.store.list([callable_, arg_expr])
+        else:
+            raise ReplError("call expects a commitment hash")
+        open_sym = s.intern_lurk_symbol("open")
+        open_expr = s.list([open_sym, s.num(digest)])
+        arg_list = s.fetch_proper_list(rest)
+        if arg_list is None:
+            raise ReplError("call arguments must be a proper list")
+        call_expr = s.list([open_expr] + arg_list)
         self.handle_non_meta(call_expr)
 
     def _meta_chain(self, args: Ptr) -> None:
@@ -532,8 +543,20 @@ class Repl:
         if lst is None:
             raise ReplError("chain result must be a pair")
         _, next_callable = lst
+        if next_callable.tag != ExprTag.Comm:
+            raise ReplError("second component of a chain must be a "
+                            "commitment")
+        # the next callable IS already a commitment made during
+        # evaluation — persist THAT opening (meta_cmd.rs chain re-hides
+        # with the commitment's own secret, not a fresh commitment)
         self.store.hydrate_z_cache()
-        comm = Commitment.new(0, next_callable, self.store)
+        digest = self.store.hash_ptr(next_callable).digest
+        opened = self.store.open(digest)
+        if opened is None:
+            raise ReplError("chained commitment was not opened in-store")
+        secret, fun = opened
+        comm = Commitment.new(secret, fun, self.store)
+        assert comm.digest == digest
         comm.persist()
         print(f"Next callable: 0x{comm.digest:064x}")
 
@@ -748,9 +771,45 @@ class Repl:
         print(f"Loading {path}")
         self.load_string(path.read_text())
 
+    def _completion_candidates(self) -> List[str]:
+        """Meta commands + every symbol interned so far (builtins from
+        the eval step, user defs, package symbols)."""
+        metas = [
+            "!(" + name[len("_meta_"):].replace("_", "-")
+            for name in dir(self)
+            if name.startswith("_meta_")]
+        syms = {
+            sym.path[-1]
+            for sym in self.store._ptr_symbol_cache.values()
+            if sym.path}
+        return sorted(metas) + sorted(syms)
+
+    def _install_completer(self, readline) -> None:
+        def complete(text: str, state: int):
+            cands = [c for c in self._completion_candidates()
+                     if c.startswith(text)]
+            return cands[state] if state < len(cands) else None
+
+        readline.set_completer(complete)
+        readline.set_completer_delims(" \t\n()'\"")
+        readline.parse_and_bind("tab: complete")
+
     def start(self) -> None:
-        """Interactive readline loop (rustyline parity)."""
-        import readline  # noqa: F401  (line editing side effect)
+        """Interactive readline loop (rustyline parity: tab completion
+        over builtins/meta commands, persistent history like the
+        reference's ~/.lurk/repl-history)."""
+        import atexit
+        import os
+        import readline
+        self._install_completer(readline)
+        hist = os.path.join(os.path.expanduser("~"), ".lurk_tpu",
+                            "repl-history")
+        os.makedirs(os.path.dirname(hist), exist_ok=True)
+        try:
+            readline.read_history_file(hist)
+        except OSError:
+            pass
+        atexit.register(lambda: _save_history(readline, hist))
         print(f"Lurk TPU REPL [{self.store.field.name}, rc={self.rc}]")
         while True:
             try:
@@ -766,3 +825,11 @@ class Repl:
                 self.load_string(line)
             except (ReplError, EvalError, Exception) as e:  # noqa: BLE001
                 print(f"Error: {e}")
+
+
+def _save_history(readline, path: str) -> None:
+    try:
+        readline.set_history_length(1000)
+        readline.write_history_file(path)
+    except OSError:
+        pass
