@@ -167,10 +167,16 @@ class Curve:
 
     def pippenger(self, scalars: List[int], points: List[Affine],
                   c: int = 8) -> Affine:
-        """Host Pippenger in Jacobian coordinates (prover fallback /
-        verifier path; the device kernel lives in lurk_tpu.msm)."""
+        """Host Pippenger in Jacobian coordinates. Routes to the native
+        C++ component (lurk_tpu/native/msm.cpp, bit-exact, threaded) when
+        available; this Python path is the oracle and fallback. The
+        device kernel lives in lurk_tpu.msm."""
         if not scalars:
             return None
+        if len(scalars) >= 64:
+            from ..native import msm as nmsm
+            if nmsm.available():
+                return nmsm.msm(self, scalars, points)
         n_windows = (self.scalar.num_bits + c - 1) // c
         jpoints = [self.jac_from_affine(pt) for pt in points]
         mask = (1 << c) - 1

@@ -1,0 +1,88 @@
+"""ctypes wrapper for the native Pippenger MSM (msm.cpp).
+
+Oracle: lurk_tpu.curves.weierstrass.Curve.pippenger (pure Python).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import math
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..curves.weierstrass import Affine, Curve
+from . import load
+
+_R = 1 << 256
+
+
+def available() -> bool:
+    return load("msm") is not None
+
+
+def _to_limbs(v: int) -> List[int]:
+    return [(v >> (64 * i)) & 0xFFFFFFFFFFFFFFFF for i in range(4)]
+
+
+def _pack_scalars(scalars: Sequence[int], order: int) -> np.ndarray:
+    buf = b"".join((s % order).to_bytes(32, "little") for s in scalars)
+    return np.frombuffer(buf, dtype=np.uint64).reshape(len(scalars), 4)
+
+
+def pack_points(points: Sequence[Affine]) -> np.ndarray:
+    """[n, 8] uint64 canonical (x, y) limb array; cacheable (commitment
+    keys pack their generators once)."""
+    buf = b"".join(
+        (pt[0].to_bytes(32, "little") + pt[1].to_bytes(32, "little"))
+        if pt is not None else bytes(64)
+        for pt in points)
+    return np.frombuffer(buf, dtype=np.uint64).reshape(len(points), 8)
+
+
+def _default_c(n: int) -> int:
+    if n < 32:
+        return 3
+    return min(16, max(4, int(math.log2(n)) - 2))
+
+
+def msm(curve: Curve, scalars: Sequence[int], points: Sequence[Affine],
+        c: Optional[int] = None, n_threads: Optional[int] = None
+        ) -> Affine:
+    """Native Pippenger MSM; bit-exact vs Curve.pippenger."""
+    return msm_packed(curve, scalars, pack_points(points), c, n_threads)
+
+
+def msm_packed(curve: Curve, scalars: Sequence[int], packed: np.ndarray,
+               c: Optional[int] = None, n_threads: Optional[int] = None
+               ) -> Affine:
+    lib = load("msm")
+    assert lib is not None, "native msm unavailable"
+    n = len(scalars)
+    assert n <= packed.shape[0]
+    if n == 0:
+        return None
+    if c is None:
+        c = _default_c(n)
+    if n_threads is None:
+        n_threads = min(32, os.cpu_count() or 1)
+    mod = np.asarray(_to_limbs(curve.p), dtype=np.uint64)
+    r2 = np.asarray(_to_limbs((_R * _R) % curve.p), dtype=np.uint64)
+    pts = np.ascontiguousarray(packed[:n])
+    scs = _pack_scalars(scalars, curve.order)
+    out = np.zeros(12, dtype=np.uint64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.lurk_msm(
+        mod.ctypes.data_as(u64p), r2.ctypes.data_as(u64p),
+        pts.ctypes.data_as(u64p), scs.ctypes.data_as(u64p),
+        ctypes.c_size_t(n), ctypes.c_int(c), ctypes.c_int(n_threads),
+        ctypes.c_int(curve.scalar.num_bits), out.ctypes.data_as(u64p))
+
+    def un(limbs) -> int:
+        return sum(int(v) << (64 * i) for i, v in enumerate(limbs))
+
+    x, y, z = un(out[0:4]), un(out[4:8]), un(out[8:12])
+    if z == 0:
+        return None
+    return curve.jac_to_affine((x, y, z))

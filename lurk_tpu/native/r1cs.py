@@ -1,0 +1,133 @@
+"""ctypes wrapper for the native sparse R1CS kernels (r1cs.cpp).
+
+Oracle: lurk_tpu.proof.nova.R1CSShape (pure Python). Shapes register
+once per process keyed by their digest; z vectors cross the boundary as
+packed 4x64 limb arrays.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import load
+
+_R = 1 << 256
+_HANDLES: Dict[Tuple[str, int], int] = {}
+
+
+def available() -> bool:
+    return load("r1cs") is not None
+
+
+def _limbs(v: int) -> bytes:
+    return v.to_bytes(32, "little")
+
+
+def _pack_vec(vec: Sequence[int], p: int) -> np.ndarray:
+    buf = b"".join((v % p).to_bytes(32, "little") for v in vec)
+    return np.frombuffer(buf, dtype=np.uint64)
+
+
+def _unpack_vec(arr: np.ndarray, n: int) -> List[int]:
+    by = arr.tobytes()
+    return [int.from_bytes(by[32 * i:32 * (i + 1)], "little")
+            for i in range(n)]
+
+
+def _u64p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def _csr(rows, which: int, p: int):
+    indptr = [0]
+    idx: List[int] = []
+    coefs: List[int] = []
+    for row in rows:
+        lc = row[which]
+        for v, c in sorted(lc.items()):
+            idx.append(v)
+            coefs.append(c % p)
+        indptr.append(len(idx))
+    return (np.asarray(indptr, dtype=np.uint64),
+            np.asarray(idx, dtype=np.uint64),
+            np.frombuffer(b"".join(_limbs(c) for c in coefs),
+                          dtype=np.uint64))
+
+
+def handle_for(shape) -> int:
+    """Register (once) and return the native handle for an
+    nova.R1CSShape."""
+    key = (shape.digest, shape.p)     # same structure over two fields
+    h = _HANDLES.get(key)             # must not share a handle
+    if h is not None:
+        return h
+    lib = load("r1cs")
+    lib.lurk_r1cs_shape.restype = ctypes.c_long
+    p = shape.p
+    mod = np.frombuffer(_limbs(p), dtype=np.uint64)
+    r2 = np.frombuffer(_limbs((_R * _R) % p), dtype=np.uint64)
+    n_vars = shape.num_inputs + shape.num_aux
+    args = [_u64p(mod), _u64p(r2),
+            ctypes.c_uint64(shape.num_constraints),
+            ctypes.c_uint64(n_vars)]
+    keep = []
+    for which in range(3):
+        indptr, idx, coef = _csr(shape.rows, which, p)
+        keep.extend((indptr, idx, coef))
+        args.extend((_u64p(indptr), _u64p(idx), _u64p(coef)))
+    h = lib.lurk_r1cs_shape(*args)
+    _HANDLES[key] = h
+    return h
+
+
+def _threads() -> int:
+    return min(32, os.cpu_count() or 1)
+
+
+def matvecs(shape, z: Sequence[int]):
+    lib = load("r1cs")
+    h = handle_for(shape)
+    m = shape.num_constraints
+    zp = _pack_vec(z, shape.p)
+    out = np.zeros(3 * m * 4, dtype=np.uint64)
+    lib.lurk_r1cs_matvecs(ctypes.c_long(h), _u64p(zp),
+                          ctypes.c_int(_threads()), _u64p(out))
+    az = _unpack_vec(out[:4 * m], m)
+    bz = _unpack_vec(out[4 * m:8 * m], m)
+    cz = _unpack_vec(out[8 * m:], m)
+    return az, bz, cz
+
+
+def cross_term(shape, z1: Sequence[int], u1: int, z2: Sequence[int]
+               ) -> List[int]:
+    lib = load("r1cs")
+    h = handle_for(shape)
+    m = shape.num_constraints
+    p = shape.p
+    z1p = _pack_vec(z1, p)
+    z2p = _pack_vec(z2, p)
+    u1p = np.frombuffer(_limbs(u1 % p), dtype=np.uint64)
+    out = np.zeros(m * 4, dtype=np.uint64)
+    lib.lurk_r1cs_cross_term(ctypes.c_long(h), _u64p(z1p), _u64p(u1p),
+                             _u64p(z2p), ctypes.c_int(_threads()),
+                             _u64p(out))
+    return _unpack_vec(out, m)
+
+
+def check_relaxed(shape, z: Sequence[int], u: int, e: Sequence[int]
+                  ) -> bool:
+    lib = load("r1cs")
+    lib.lurk_r1cs_check_relaxed.restype = ctypes.c_uint64
+    h = handle_for(shape)
+    p = shape.p
+    zp = _pack_vec(z, p)
+    ep = _pack_vec(e, p)
+    up = np.frombuffer(_limbs(u % p), dtype=np.uint64)
+    bad = lib.lurk_r1cs_check_relaxed(ctypes.c_long(h), _u64p(zp),
+                                      _u64p(up), _u64p(ep),
+                                      ctypes.c_int(_threads()))
+    return bad == 0

@@ -86,6 +86,14 @@ class CommitmentKey:
         if self.use_device and n >= 4096:
             from ..msm.pippenger import msm
             return msm(self.curve, list(vec), self.gens[:n])
+        from ..native import msm as nmsm
+        if n >= 64 and nmsm.available():
+            # packed-generator cache: keys are long-lived, commits hot
+            packed = getattr(self, "_packed", None)
+            if packed is None or packed.shape[0] < len(self.gens):
+                packed = nmsm.pack_points(self.gens)
+                object.__setattr__(self, "_packed", packed)
+            return nmsm.msm_packed(self.curve, vec, packed)
         return self.curve.pippenger(list(vec), self.gens[:n])
 
 
@@ -132,7 +140,18 @@ def z_vector(shape: R1CSShape, x: List[int], w: List[int],
         [v % shape.p for v in w]
 
 
+def _native_r1cs():
+    """The C++ sparse kernels (native/r1cs.cpp) or None; the Python
+    paths below are the oracle and fallback."""
+    from ..native import r1cs as nr
+    return nr if nr.available() else None
+
+
 def check_strict(shape: R1CSShape, x: List[int], w: List[int]) -> bool:
+    nr = _native_r1cs()
+    if nr is not None:
+        return nr.check_relaxed(shape, z_vector(shape, x, w, 1), 1,
+                                [0] * shape.num_constraints)
     az, bz, cz = shape.matvecs(z_vector(shape, x, w, 1))
     p = shape.p
     return all((a * b - c) % p == 0 for a, b, c in zip(az, bz, cz))
@@ -140,6 +159,11 @@ def check_strict(shape: R1CSShape, x: List[int], w: List[int]) -> bool:
 
 def check_relaxed(shape: R1CSShape, inst: RelaxedInstance,
                   wit: RelaxedWitness) -> bool:
+    nr = _native_r1cs()
+    if nr is not None:
+        return nr.check_relaxed(
+            shape, z_vector(shape, inst.x, wit.w, inst.u), inst.u,
+            wit.e)
     p = shape.p
     az, bz, cz = shape.matvecs(z_vector(shape, inst.x, wit.w, inst.u))
     return all((a * b - (inst.u * c + e)) % p == 0
@@ -158,6 +182,9 @@ def cross_term(shape: R1CSShape, inst1: RelaxedInstance,
     p = shape.p
     z1 = z_vector(shape, inst1.x, wit1.w, inst1.u)
     z2 = z_vector(shape, x2, w2, 1)
+    nr = _native_r1cs()
+    if nr is not None:
+        return nr.cross_term(shape, z1, inst1.u, z2)
     az1, bz1, cz1 = shape.matvecs(z1)
     az2, bz2, cz2 = shape.matvecs(z2)
     u1 = inst1.u

