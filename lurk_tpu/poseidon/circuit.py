@@ -97,8 +97,12 @@ def poseidon_witness(cs: ConstraintSystem, field: FieldSpec,
     — the dominant cost of full synthesis) and returns the digest value.
     Only valid on a ``witness_only`` ConstraintSystem."""
     assert cs.witness_only
-    trace, digest = witness_trace_and_digest(
-        field, [x.value for x in preimage])
+    values = [x.value for x in preimage]
+    from ..native import poseidon as npos
+    if npos.available():
+        trace, digest = npos.witness_trace_and_digest(field, values)
+    else:
+        trace, digest = witness_trace_and_digest(field, values)
     cs.aux.extend(trace)
     return Num({}, digest)
 
