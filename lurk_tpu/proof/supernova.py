@@ -140,8 +140,19 @@ class SuperNovaProver:
                 chunk,
                 io_scalars(store, chunk[0].input),
                 io_scalars(store, chunk[-1].output))))
-        # build shapes per circuit index actually used
+        # build shapes per circuit index actually used; the pc=0
+        # (universal Lurk step) shape loads from the disk cache so
+        # repeat proves are witness-only everywhere
+        from .params_cache import load_shape, save_shape, shape_cache_key
         shapes: Dict[int, R1CSShape] = {}
+        skey = None
+        if not self.check_steps and not len(self.lang):
+            skey = shape_cache_key(store.field.name, self.rc,
+                                   self.lurk_step) + "-nivc"
+            cached = load_shape(skey, store.field)
+            if cached is not None:
+                shapes[0] = cached
+                skey = None
         instances: List[Tuple[int, List[int], List[int]]] = []
         synths = self.lang.circuit_synthesizers()
         for step in steps:
@@ -154,6 +165,8 @@ class SuperNovaProver:
                 cproc_synthesizers=synths, witness_only=wo)
             if step.pc not in shapes:
                 shapes[step.pc] = R1CSShape(cs)
+                if step.pc == 0 and skey is not None:
+                    save_shape(skey, shapes[0])
             elif not wo:
                 assert shapes[step.pc].digest == cs.shape_digest(), \
                     f"non-uniform circuit for pc={step.pc}"
