@@ -18,43 +18,50 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _candidates(arity):
+    """Best-first kernel ladder: sublane-dense -> folded-partial -> base
+    MXU. A Mosaic regression (compile failure OR wrong digests) in one
+    kernel falls through to the next."""
+    from lurk_tpu.fields import PALLAS_SCALAR
+
+    def sb():
+        from lurk_tpu.poseidon.pallas_sb import build_pallas_sb_hasher
+        return jax.jit(build_pallas_sb_hasher(PALLAS_SCALAR, arity))
+
+    def opt():
+        from lurk_tpu.poseidon.pallas_mxu import (
+            build_pallas_mxu_opt_hasher,
+        )
+        return jax.jit(build_pallas_mxu_opt_hasher(PALLAS_SCALAR, arity,
+                                                   512))
+
+    def base():
+        from lurk_tpu.poseidon.pallas_mxu import build_pallas_mxu_hasher
+        return jax.jit(build_pallas_mxu_hasher(PALLAS_SCALAR, arity, 512))
+
+    return [sb, opt, base]
+
+
+def _check(hasher, arr, x, f, field, arity) -> bool:
+    from lurk_tpu.poseidon.host import hash_preimage
+    from lurk_tpu.ops import limbs as L
+    out = np.asarray(hasher(x))
+    lane = 7
+    pre = f.to_ints(np.asarray(arr[:, :, lane:lane + 1]).reshape(
+        arity, L.N_LIMBS, 1))
+    expect = hash_preimage(field, pre)
+    got = f.to_ints(out[:, lane:lane + 1].reshape(1, L.N_LIMBS, 1))[0]
+    return got == expect
+
+
 def main() -> None:
     from lurk_tpu.fields import PALLAS_SCALAR
     from lurk_tpu.ops import limbs as L
-    from lurk_tpu.poseidon.host import hash_preimage
     from lurk_tpu.poseidon.kernel import build_hasher
 
     arity = 4
-    batch = 1 << 17
-    if jax.default_backend() != "cpu":
-        # best-first kernel ladder: sublane-dense -> folded-partial ->
-        # base MXU (a Mosaic regression in one must not zero the bench)
-        hasher = None
-        try:
-            from lurk_tpu.poseidon.pallas_sb import build_pallas_sb_hasher
-            hasher = jax.jit(build_pallas_sb_hasher(PALLAS_SCALAR, arity))
-            hasher(jnp.zeros((arity, 16, batch),
-                             jnp.uint32)).block_until_ready()
-        except Exception:
-            hasher = None
-        if hasher is None:
-            try:
-                from lurk_tpu.poseidon.pallas_mxu import (
-                    build_pallas_mxu_opt_hasher,
-                )
-                hasher = jax.jit(
-                    build_pallas_mxu_opt_hasher(PALLAS_SCALAR, arity, 512))
-                hasher(jnp.zeros((arity, 16, batch),
-                                 jnp.uint32)).block_until_ready()
-            except Exception:
-                hasher = None
-        if hasher is None:
-            from lurk_tpu.poseidon.pallas_mxu import build_pallas_mxu_hasher
-            hasher = jax.jit(
-                build_pallas_mxu_hasher(PALLAS_SCALAR, arity, 512))
-    else:
-        batch = 1 << 16
-        hasher = jax.jit(build_hasher(PALLAS_SCALAR, arity))
+    on_device = jax.default_backend() != "cpu"
+    batch = 1 << 17 if on_device else 1 << 16
 
     f = L.limb_field(PALLAS_SCALAR)
     rng = np.random.default_rng(42)
@@ -62,14 +69,20 @@ def main() -> None:
                        dtype=np.uint32).astype(np.uint32)
     x = jnp.asarray(arr)
 
-    # correctness spot-check on one lane
-    out = np.asarray(hasher(x))
-    lane = 7
-    pre = f.to_ints(np.asarray(arr[:, :, lane:lane + 1]).reshape(
-        arity, L.N_LIMBS, 1))
-    expect = hash_preimage(PALLAS_SCALAR, pre)
-    got = f.to_ints(out[:, lane:lane + 1].reshape(1, L.N_LIMBS, 1))[0]
-    assert got == expect, "kernel/host mismatch"
+    hasher = None
+    if on_device:
+        for build in _candidates(arity):
+            try:
+                cand = build()
+                if _check(cand, arr, x, PALLAS_SCALAR, arity):
+                    hasher = cand
+                    break
+            except Exception:
+                continue
+    if hasher is None:
+        hasher = jax.jit(build_hasher(PALLAS_SCALAR, arity))
+        assert _check(hasher, arr, x, PALLAS_SCALAR, arity), \
+            "kernel/host mismatch"
 
     # timed runs; dispatches are pipelined (one sync at the end) so the
     # axon tunnel's per-call RTT does not mask device throughput
