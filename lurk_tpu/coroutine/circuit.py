@@ -152,6 +152,11 @@ class CircuitQuery:
     def symbol(self) -> Symbol:
         raise NotImplementedError
 
+    def for_index(self, index: int) -> "CircuitQuery":
+        """Specialize to one NIVC circuit index (multi-coroutine
+        toplevels override; single-query types are index-free)."""
+        return self
+
     def synthesize_eval(self, scope: CircuitScope, key: AllocatedPtr,
                         key_ptr: Optional[Ptr], acc: AllocatedPtr,
                         not_dummy: Bool

@@ -91,10 +91,11 @@ class MemosetProver:
         steps: List[CoroutineCircuit] = []
         for index in sorted(scope.unique_inserted_keys):
             keys = scope.unique_inserted_keys[index]
+            cq = self.circuit_query.for_index(index)
             for start in range(0, len(keys), self.rc):
                 steps.append(CoroutineCircuit(
                     scope, keys[start:start + self.rc], index, self.rc,
-                    self.circuit_query))
+                    cq))
         # host-side z chaining (mirrors the in-circuit updates)
         z = self.z0(scope)
 

@@ -121,6 +121,9 @@ class SynthesisCtx:
     # reference has no such fallback (every Coprocessor must implement
     # synthesize); proving paths must leave this False.
     allow_unconstrained_advice: bool = False
+    # Op::Crout dispatch for memoset coroutine circuits
+    # (synthesis.rs:114-141): (synth, not_dummy, sym, arg_ptrs) -> outs
+    crout_synthesizer: object = None
 
 
 class Synthesizer:
@@ -300,6 +303,17 @@ class Synthesizer:
                         bound[var] = alloc_ptr(cs, z.tag, z.digest)
                     else:
                         bound[var] = alloc_ptr(cs, 0, 0)
+        elif k == ir.CROUT:
+            _, outs, sym_, ins = op
+            handler = self.ctx.crout_synthesizer
+            if handler is None:
+                raise SynthesisError(
+                    f"coroutine {sym_} outside a memoset circuit scope")
+            out_ptrs = handler(self, not_dummy, sym_,
+                               [bound[v] for v in ins])
+            assert len(out_ptrs) == len(outs)
+            for var, ptr in zip(outs, out_ptrs):
+                bound[var] = ptr
         elif k in (ir.CONS2, ir.CONS3, ir.CONS4):
             st = {ir.CONS2: HASH4, ir.CONS3: HASH6, ir.CONS4: HASH8}[k]
             preimg, img_hash = self._slot(st, counters)
