@@ -54,14 +54,41 @@ def _check(hasher, arr, x, f, field, arity) -> bool:
     return got == expect
 
 
+def _cpu_native_bench(arity: int) -> None:
+    """No TPU attached: report the native C++ host hasher instead (the
+    XLA CPU compile of the batched kernel is pathological on some
+    hosts)."""
+    import random
+    from lurk_tpu.fields import PALLAS_SCALAR
+    from lurk_tpu.native import poseidon as npos
+    from lurk_tpu.poseidon.host import hash_preimage
+    r = random.Random(42)
+    batch = 1 << 13
+    pres = [tuple(r.randrange(PALLAS_SCALAR.modulus)
+                  for _ in range(arity)) for _ in range(batch)]
+    got = npos.hash_batch(PALLAS_SCALAR, arity, pres[:4])
+    assert got == [hash_preimage(PALLAS_SCALAR, p) for p in pres[:4]]
+    t0 = time.perf_counter()
+    npos.hash_batch(PALLAS_SCALAR, arity, pres)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "poseidon4_hashes_per_s",
+        "value": round(batch / dt, 1),
+        "unit": "hashes/s (cpu-native fallback)",
+        "vs_baseline": round(batch / dt / 1e7, 4),
+    }))
+
+
 def main() -> None:
     from lurk_tpu.fields import PALLAS_SCALAR
     from lurk_tpu.ops import limbs as L
-    from lurk_tpu.poseidon.kernel import build_hasher
 
     arity = 4
     on_device = jax.default_backend() != "cpu"
-    batch = 1 << 17 if on_device else 1 << 16
+    if not on_device:
+        _cpu_native_bench(arity)
+        return
+    batch = 1 << 17
 
     f = L.limb_field(PALLAS_SCALAR)
     rng = np.random.default_rng(42)
@@ -70,19 +97,15 @@ def main() -> None:
     x = jnp.asarray(arr)
 
     hasher = None
-    if on_device:
-        for build in _candidates(arity):
-            try:
-                cand = build()
-                if _check(cand, arr, x, PALLAS_SCALAR, arity):
-                    hasher = cand
-                    break
-            except Exception:
-                continue
-    if hasher is None:
-        hasher = jax.jit(build_hasher(PALLAS_SCALAR, arity))
-        assert _check(hasher, arr, x, PALLAS_SCALAR, arity), \
-            "kernel/host mismatch"
+    for build in _candidates(arity):
+        try:
+            cand = build()
+            if _check(cand, arr, x, PALLAS_SCALAR, arity):
+                hasher = cand
+                break
+        except Exception:
+            continue
+    assert hasher is not None, "no TPU kernel passed the digest check"
 
     # timed runs; dispatches are pipelined (one sync at the end) so the
     # axon tunnel's per-call RTT does not mask device throughput

@@ -131,4 +131,67 @@ void lurk_poseidon_trace(long h, const u64* state0_limbs,
     std::memcpy(out_digest, dg.v, 32);
 }
 
+// Batched digest-only hashing (store hydration waves): states0 is
+// n * t * 4 limbs canonical; out n * 4 limbs.
+void lurk_poseidon_hash_many(long h, const u64* states0, u64 n,
+                             u64* out) {
+    const Spec& sp = *g_specs[h];
+    const Field& f = sp.f;
+    int t = sp.t;
+    Fe r2;
+    std::memcpy(r2.v, f.r2, 32);
+    Fe one = {{1, 0, 0, 0}};
+    std::vector<Fe> st(t), nxt(t);
+    for (u64 k = 0; k < n; k++) {
+        for (int i = 0; i < t; i++) {
+            Fe x;
+            std::memcpy(x.v, states0 + (k * t + i) * 4, 32);
+            fe_mul(f, st[i], x, r2);
+        }
+        int off = 0;
+        auto sbox = [&](Fe& x) {
+            Fe x2, x4;
+            fe_mul(f, x2, x, x);
+            fe_mul(f, x4, x2, x2);
+            fe_mul(f, x, x4, x);
+        };
+        auto add_rc = [&]() {
+            for (int i = 0; i < t; i++)
+                fe_add(f, st[i], st[i], sp.rc[off + i]);
+            off += t;
+        };
+        auto mds = [&]() {
+            for (int j = 0; j < t; j++) {
+                Fe acc, tmp;
+                std::memset(&acc, 0, sizeof(acc));
+                for (int i = 0; i < t; i++) {
+                    fe_mul(f, tmp, sp.mds[i * t + j], st[i]);
+                    fe_add(f, acc, acc, tmp);
+                }
+                nxt[j] = acc;
+            }
+            st.swap(nxt);
+        };
+        int half = sp.rf / 2;
+        for (int r = 0; r < half; r++) {
+            add_rc();
+            for (int i = 0; i < t; i++) sbox(st[i]);
+            mds();
+        }
+        for (int r = 0; r < sp.rp; r++) {
+            add_rc();
+            sbox(st[0]);
+            mds();
+        }
+        for (int r = 0; r < half; r++) {
+            add_rc();
+            for (int i = 0; i < t; i++) sbox(st[i]);
+            mds();
+        }
+        Fe dg;
+        fe_mul(f, dg, st[1], one);
+        std::memcpy(out + k * 4, dg.v, 32);
+    }
+}
+
 }

@@ -56,6 +56,27 @@ def _handle(field, arity: int) -> Tuple[int, int]:
     return hd, n_sboxes
 
 
+def hash_batch(field, arity: int, pres: Sequence[Sequence[int]]
+               ) -> List[int]:
+    """Digest-only batched hashing (store hydration waves on hosts
+    where the XLA CPU compile is impractical)."""
+    from ..poseidon.spec import poseidon_spec
+    hd, _ = _handle(field, arity)
+    spec = poseidon_spec(field, arity)
+    p = field.modulus
+    tag = _limbs(spec.domain_tag)
+    buf = b"".join(
+        tag + b"".join(_limbs(x % p) for x in pre) for pre in pres)
+    states = np.frombuffer(buf, dtype=np.uint64)
+    out = np.zeros(len(pres) * 4, dtype=np.uint64)
+    lib = load("poseidon")
+    lib.lurk_poseidon_hash_many(ctypes.c_long(hd), _u64p(states),
+                                ctypes.c_uint64(len(pres)), _u64p(out))
+    by = out.tobytes()
+    return [int.from_bytes(by[32 * i:32 * (i + 1)], "little")
+            for i in range(len(pres))]
+
+
 def witness_trace_and_digest(field, preimage: Sequence[int]
                              ) -> Tuple[List[int], int]:
     """Native counterpart of circuit.witness_trace_and_digest."""

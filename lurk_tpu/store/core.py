@@ -275,6 +275,15 @@ class Store:
     def _hash_wave(self, arity: int, pres: List[List[int]]) -> List[int]:
         if not self.use_device or len(pres) < _DEVICE_WAVE_THRESHOLD:
             return [self.poseidon.hash(p) for p in pres]
+        import jax
+        if jax.default_backend() == "cpu":
+            # the XLA CPU compile of the batched kernel is pathological
+            # on some hosts (20+ GB); the native C++ hasher covers the
+            # CPU case (bit-exact, tests/test_native.py)
+            from ..native import poseidon as npos
+            if npos.available():
+                return npos.hash_batch(self.field, arity, pres)
+            return [self.poseidon.hash(p) for p in pres]
         from ..poseidon.kernel import hash_batch_padded
         return hash_batch_padded(self.field, arity, pres)
 
