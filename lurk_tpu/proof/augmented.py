@@ -159,9 +159,12 @@ def _absorb_relaxed_gadget(tr: TranscriptGadget, acc: AllocRelaxed,
 def fold_relaxed_gadget(cs: ConstraintSystem, curve: Curve, p_other: int,
                         pp: Num, acc: AllocRelaxed, new_w: PointFlag,
                         new_x: Sequence[BigNat],
-                        comm_t: PointFlag) -> AllocRelaxed:
+                        comm_t: PointFlag,
+                        extra: Sequence[Num] = ()) -> AllocRelaxed:
     tr = TranscriptGadget(cs, b"nova.fold")
     tr.absorb(pp)
+    for v in extra:
+        tr.absorb(v)
     _absorb_relaxed_gadget(tr, acc, p_other)
     tr.absorb_point(new_w.x, new_w.y, new_w.is_id)
     for v in new_x:

@@ -53,11 +53,15 @@ from .transcript import Transcript
 
 def cycle_fold_challenge(curve_other: Curve, pp_digest: int,
                          acc: RelaxedInstance, new: R1CSInstance,
-                         comm_t: Affine) -> int:
+                         comm_t: Affine,
+                         extra: Sequence[int] = ()) -> int:
     """Fold challenge for the cycle protocol (the in-circuit
-    fold_relaxed_gadget recomputes this bit-exactly)."""
+    fold_relaxed_gadget recomputes this bit-exactly). `extra` binds
+    per-fold context (SuperNova: the circuit index)."""
     tr = Transcript(curve_other, b"nova.fold")
     tr.absorb(pp_digest)
+    for v in extra:
+        tr.absorb(v)
     _absorb_relaxed(tr, acc)
     _absorb_strict(tr, new)
     tr.absorb_point(comm_t)

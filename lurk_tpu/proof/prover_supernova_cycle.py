@@ -1,0 +1,133 @@
+"""SuperNova NIVC prover (augmented circuits) over the universal Lurk
+step + coprocessor circuits: the O(#circuits) `supernova` backend.
+
+The cycle analogue of proof/supernova.py (which keeps the recomputing
+fold-chain verifier): evaluate -> pc-chunked MultiFrames -> each chunk
+becomes one primary augmented synthesis for its circuit index ->
+dual-chain folding (proof/supernova_cycle.py). Reference functionality:
+/root/reference/src/proof/supernova.rs:200-318 via arecibo.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+from ..lem import evaluation as ev
+from ..lem import ir
+from ..lem.eval_step import eval_step, make_cprocs_funcs, make_eval_step
+from ..lem.interpreter import Frame
+from ..store.core import Ptr, Store
+from .multiframe import MultiFrame, io_scalars, pad_frames
+from .supernova import chunk_frames_nivc
+from .supernova_cycle import (
+    SnCyclePublicParams, SnCycleProof, SnCycleSNARK,
+    verify as sn_cycle_verify,
+)
+
+
+def _chunk_step_fn(func: ir.Func, store: Store,
+                   cproc_synthesizers: Optional[Dict] = None):
+    """Primary step callback: chain the chunk's frame syntheses; the
+    next circuit index is allocated as advice (multiframe.rs:922-966:
+    the reference's supernova StepCircuit also allocates next_pc)."""
+    from ..lem.circuit import AllocatedPtr, synthesize_frame_with_inputs
+    from ..r1cs.gadgets import alloc_num
+
+    def step(cs, zi, aux):
+        frames, next_pc = aux
+        current = [AllocatedPtr(zi[2 * i], zi[2 * i + 1])
+                   for i in range(3)]
+        for frame in frames:
+            current = synthesize_frame_with_inputs(
+                cs, func, store, frame, current, cproc_synthesizers)
+        out = []
+        for ptr in current:
+            out.extend((ptr.tag, ptr.hash))
+        return out, alloc_num(cs, next_pc)
+
+    return step
+
+
+_PP_CACHE: Dict[tuple, SnCyclePublicParams] = {}
+
+
+def sn_cycle_public_params(store: Store, rc: int, lurk_step: ir.Func,
+                           cprocs: List[ir.Func],
+                           lang: Optional[ev.Lang] = None
+                           ) -> SnCyclePublicParams:
+    lang_key = (tuple(sorted(str(s) for s, _ in lang.cproc_specs()))
+                if lang is not None and len(lang) else ())
+    key = (store.field.name, rc, lang_key)
+    pp = _PP_CACHE.get(key)
+    if pp is not None:
+        return pp
+    synths = lang.circuit_synthesizers() if lang is not None else None
+    step_fns = [_chunk_step_fn(lurk_step, store, synths)]
+    for func in cprocs:
+        step_fns.append(_chunk_step_fn(func, store, synths))
+    # dummy auxes for shape synthesis
+    nil = store.intern_nil()
+    frames = ev.evaluate(None, nil, store, rc)
+    frames = pad_frames(frames, lurk_step, rc, store, lang)
+    store.hydrate_z_cache()
+    dummy_auxes = [(frames, 0)]
+    for func in cprocs:
+        dummy_auxes.append(([Frame.blank_frame(func, 0, store)], 0))
+    dummy_z0 = io_scalars(store, frames[0].input)
+    pp = SnCyclePublicParams.setup(store.field, 6, step_fns, dummy_z0,
+                                   dummy_auxes)
+    _PP_CACHE[key] = pp
+    return pp
+
+
+@dataclasses.dataclass
+class SuperNovaCycleProver:
+    """NIVC prover: one augmented fold step per pc chunk."""
+
+    rc: int = 10
+    lang: Optional[ev.Lang] = None
+    check_steps: bool = False
+
+    def setup_funcs(self) -> Tuple[ir.Func, List[ir.Func]]:
+        if self.lang is not None and len(self.lang):
+            specs = tuple(self.lang.cproc_specs())
+            return make_eval_step(specs, False), make_cprocs_funcs(specs)
+        return make_eval_step((), False), []
+
+    def evaluate_and_prove(self, store: Store, expr: Ptr,
+                           limit: int = 10000):
+        lang_setup = None
+        if self.lang is not None and len(self.lang):
+            lang_setup = ev.LangSetup.nivc(self.lang)
+        frames = ev.evaluate(lang_setup, expr, store, limit)
+        pp, proof = self.prove_from_frames(store, frames)
+        return pp, proof, frames
+
+    def prove_from_frames(self, store: Store, frames: List[Frame]
+                          ) -> Tuple[SnCyclePublicParams, SnCycleProof]:
+        assert frames
+        store.hydrate_z_cache()
+        lurk_step, cprocs = self.setup_funcs()
+        chunks = chunk_frames_nivc(list(frames), self.rc)
+        padded: List[List[Frame]] = []
+        for chunk in chunks:
+            if chunk[0].pc == 0 and len(chunk) < self.rc:
+                chunk = pad_frames(chunk, lurk_step, self.rc, store,
+                                   self.lang)
+            padded.append(chunk)
+        pp = sn_cycle_public_params(store, self.rc, lurk_step, cprocs,
+                                    self.lang)
+        snark = SnCycleSNARK(pp, io_scalars(store, padded[0][0].input))
+        for k, chunk in enumerate(padded):
+            pc = chunk[0].pc
+            next_pc = padded[k + 1][0].pc if k + 1 < len(padded) else 0
+            z_next = io_scalars(store, chunk[-1].output)
+            snark.prove_step(pc, z_next, next_pc,
+                             step_aux=(chunk, next_pc),
+                             check=self.check_steps)
+        return pp, snark.finish()
+
+    @staticmethod
+    def verify(pp: SnCyclePublicParams, proof: SnCycleProof) -> bool:
+        return sn_cycle_verify(pp, proof)
