@@ -37,8 +37,8 @@ def main(argv=None) -> int:
         p.add_argument("--field", default="bn256", choices=list(FIELDS),
                        help="Lurk field")
         p.add_argument("--backend", default="supernova",
-                       choices=["nova", "supernova", "nova-fold",
-                                "supernova-fold"],
+                       choices=["nova", "supernova", "supernova-cycle",
+                                "nova-fold", "supernova-fold"],
                        help="folding backend (reference parity: "
                             "supernova = NIVC [default], nova = O(1) "
                             "augmented-circuit IVC on the curve cycle; "

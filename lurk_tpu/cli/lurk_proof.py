@@ -275,6 +275,74 @@ def compressed_cycle_from_json(d: dict):
     )
 
 
+
+
+def sn_cycle_proof_to_json(proof) -> dict:
+    return {
+        "n": proof.n,
+        "z0": [f"{v:x}" for v in proof.z0],
+        "zn": [f"{v:x}" for v in proof.zn],
+        "pc_n": proof.pc_n,
+        "u1s": [_relaxed_to_json(u) for u in proof.u1s],
+        "w1s": [_relaxed_wit_to_json(w) for w in proof.w1s],
+        "u2": _relaxed_to_json(proof.u2),
+        "u2_pending": {"comm_w": _pt(proof.u2_pending.comm_w),
+                       "x": [f"{v:x}" for v in proof.u2_pending.x]},
+        "comm_t_last": _pt(proof.comm_t_last),
+        "w2_folded": _relaxed_wit_to_json(proof.w2_folded),
+    }
+
+
+def sn_cycle_proof_from_json(d: dict):
+    from ..proof.supernova_cycle import SnCycleProof
+    return SnCycleProof(
+        d["n"],
+        [int(v, 16) for v in d["z0"]],
+        [int(v, 16) for v in d["zn"]],
+        d["pc_n"],
+        [_relaxed_from_json(u) for u in d["u1s"]],
+        [_relaxed_wit_from_json(w) for w in d["w1s"]],
+        _relaxed_from_json(d["u2"]),
+        R1CSInstance(_un_pt(d["u2_pending"]["comm_w"]),
+                     [int(v, 16) for v in d["u2_pending"]["x"]]),
+        _un_pt(d["comm_t_last"]),
+        _relaxed_wit_from_json(d["w2_folded"]),
+    )
+
+
+def compressed_sn_cycle_to_json(cp) -> dict:
+    return {
+        "n": cp.n,
+        "z0": [f"{v:x}" for v in cp.z0],
+        "zn": [f"{v:x}" for v in cp.zn],
+        "pc_n": cp.pc_n,
+        "u1s": [_relaxed_to_json(u) for u in cp.u1s],
+        "u2": _relaxed_to_json(cp.u2),
+        "u2_pending": {"comm_w": _pt(cp.u2_pending.comm_w),
+                       "x": [f"{v:x}" for v in cp.u2_pending.x]},
+        "comm_t_last": _pt(cp.comm_t_last),
+        "spartans1": [_spartan_to_json(sp) for sp in cp.spartans1],
+        "spartan2": _spartan_to_json(cp.spartan2),
+    }
+
+
+def compressed_sn_cycle_from_json(d: dict):
+    from ..proof.prover_supernova_cycle import CompressedSnCycleProof
+    return CompressedSnCycleProof(
+        d["n"],
+        [int(v, 16) for v in d["z0"]],
+        [int(v, 16) for v in d["zn"]],
+        d["pc_n"],
+        [_relaxed_from_json(u) for u in d["u1s"]],
+        _relaxed_from_json(d["u2"]),
+        R1CSInstance(_un_pt(d["u2_pending"]["comm_w"]),
+                     [int(v, 16) for v in d["u2_pending"]["x"]]),
+        _un_pt(d["comm_t_last"]),
+        [_spartan_from_json(sp) for sp in d["spartans1"]],
+        _spartan_from_json(d["spartan2"]),
+    )
+
+
 def proof_from_json(d: dict) -> FoldingProof:
     steps = [
         (R1CSInstance(_un_pt(s["comm_w"]),
@@ -306,7 +374,11 @@ class LurkProof:
     def persist(self, proof_key: str) -> Path:
         path = proofs_dir() / f"{proof_key}.proof.json"
         nivc = self.backend.startswith("supernova")
-        if self.backend == "nova":
+        if self.backend == "supernova-cycle":
+            proof_json = (compressed_sn_cycle_to_json(self.proof)
+                          if self.kind == "compressed"
+                          else sn_cycle_proof_to_json(self.proof))
+        elif self.backend == "nova":
             proof_json = (compressed_cycle_to_json(self.proof)
                           if self.kind == "compressed"
                           else cycle_proof_to_json(self.proof))
@@ -333,7 +405,11 @@ class LurkProof:
         d = json.loads(path.read_text())
         nivc = d["backend"].startswith("supernova")
         kind = d.get("kind", "recursive")
-        if d["backend"] == "nova":
+        if d["backend"] == "supernova-cycle":
+            proof = (compressed_sn_cycle_from_json(d["proof"])
+                     if kind == "compressed"
+                     else sn_cycle_proof_from_json(d["proof"]))
+        elif d["backend"] == "nova":
             proof = (compressed_cycle_from_json(d["proof"])
                      if kind == "compressed"
                      else cycle_proof_from_json(d["proof"]))

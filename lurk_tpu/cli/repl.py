@@ -147,6 +147,19 @@ class Repl:
                 else:
                     assert pcy.CycleNovaProver.verify(pp, proof), \
                         "self-check failed"
+            elif self.backend == "supernova-cycle":
+                from ..proof import prover_supernova_cycle as psc
+                prover = psc.SuperNovaCycleProver(rc=self.rc,
+                                                  lang=self.lang)
+                pp, proof = prover.prove_from_frames(s, frames)
+                if self.compress:
+                    proof = psc.compress_sn_cycle(pp, proof)
+                    kind = "compressed"
+                    assert psc.verify_compressed_sn_cycle(pp, proof), \
+                        "self-check failed"
+                else:
+                    assert psc.SuperNovaCycleProver.verify(pp, proof), \
+                        "self-check failed"
             elif self.backend.startswith("supernova"):
                 from ..proof.supernova import SuperNovaProver
                 from ..proof import supernova as sn
@@ -192,7 +205,17 @@ class Repl:
         lp = LurkProof.load(proof_key)
         if lp is None:
             raise ReplError(f"proof {proof_key} not found")
-        if lp.backend == "nova":
+        if lp.backend == "supernova-cycle":
+            from ..proof import prover_supernova_cycle as psc
+            prover = psc.SuperNovaCycleProver(rc=lp.rc, lang=self.lang)
+            lurk_step, cprocs = prover.setup_funcs()
+            pp = psc.sn_cycle_public_params(self.store, lp.rc, lurk_step,
+                                            cprocs, self.lang)
+            if lp.kind == "compressed":
+                ok = psc.verify_compressed_sn_cycle(pp, lp.proof)
+            else:
+                ok = psc.SuperNovaCycleProver.verify(pp, lp.proof)
+        elif lp.backend == "nova":
             from ..proof import prover_cycle as pcy
             prover = pcy.CycleNovaProver(rc=lp.rc, lang=self.lang)
             pp = pcy.cycle_public_params(self.store, lp.rc,

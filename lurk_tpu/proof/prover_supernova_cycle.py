@@ -131,3 +131,80 @@ class SuperNovaCycleProver:
     @staticmethod
     def verify(pp: SnCyclePublicParams, proof: SnCycleProof) -> bool:
         return sn_cycle_verify(pp, proof)
+
+
+# ---------------------------------------------------------------------------
+# Compression: Spartan/IPA over every final accumulator -> O(log) proof
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class CompressedSnCycleProof:
+    n: int
+    z0: List[int]
+    zn: List[int]
+    pc_n: int
+    u1s: List[object]             # RelaxedInstance per circuit
+    u2: object
+    u2_pending: object
+    comm_t_last: object
+    spartans1: List[object]       # SpartanProof per primary circuit
+    spartan2: object
+
+
+def _side_pp1(pp: SnCyclePublicParams, pc: int):
+    from .nova import PublicParams
+    return PublicParams(pp.shapes1[pc], pp.curve1, pp.ck1)
+
+
+def _side_pp2(pp: SnCyclePublicParams):
+    from .nova import PublicParams
+    return PublicParams(pp.shape2, pp.curve2, pp.ck2)
+
+
+def compress_sn_cycle(pp: SnCyclePublicParams, proof: SnCycleProof
+                      ) -> CompressedSnCycleProof:
+    from . import spartan
+    from .nova import fold_instance
+    from .nova_cycle import cycle_fold_challenge
+    spartans1 = [spartan.prove(_side_pp1(pp, pc), proof.u1s[pc],
+                               proof.w1s[pc])
+                 for pc in range(pp.n_circuits)]
+    r2 = cycle_fold_challenge(pp.curve2, pp.pp_digest, proof.u2,
+                              proof.u2_pending, proof.comm_t_last)
+    u2f = fold_instance(pp.curve2, proof.u2, proof.u2_pending,
+                        proof.comm_t_last, r2, pp.field2.modulus)
+    sp2 = spartan.prove(_side_pp2(pp), u2f, proof.w2_folded)
+    return CompressedSnCycleProof(
+        proof.n, list(proof.z0), list(proof.zn), proof.pc_n,
+        list(proof.u1s), proof.u2, proof.u2_pending, proof.comm_t_last,
+        spartans1, sp2)
+
+
+def verify_compressed_sn_cycle(pp: SnCyclePublicParams,
+                               cp: CompressedSnCycleProof) -> bool:
+    from . import spartan
+    from .nova import fold_instance
+    from .nova_cycle import cycle_fold_challenge
+    from .supernova_cycle import sn_state1, sn_state2
+    if cp.n <= 0 or len(cp.u1s) != pp.n_circuits:
+        return False
+    if len(cp.z0) != pp.io_arity or len(cp.zn) != pp.io_arity:
+        return False
+    if len(cp.u2_pending.x) != 2 or len(cp.u2.x) != 2 or \
+            any(len(u.x) != 2 for u in cp.u1s):
+        return False
+    h_n = sn_state1(pp.curve2, pp.pp_digest, cp.n, cp.z0, cp.zn,
+                    cp.pc_n, cp.u2, cp.u2_pending.x[0])
+    g_n = sn_state2(pp.curve1, pp.pp_digest, cp.n, cp.u1s, h_n)
+    if cp.u2_pending.x[1] != g_n:
+        return False
+    r2 = cycle_fold_challenge(pp.curve2, pp.pp_digest, cp.u2,
+                              cp.u2_pending, cp.comm_t_last)
+    u2f = fold_instance(pp.curve2, cp.u2, cp.u2_pending, cp.comm_t_last,
+                        r2, pp.field2.modulus)
+    for pc in range(pp.n_circuits):
+        if not spartan.verify(_side_pp1(pp, pc), cp.u1s[pc],
+                              cp.spartans1[pc]):
+            return False
+    return spartan.verify(_side_pp2(pp), u2f, cp.spartan2)
