@@ -52,6 +52,17 @@ def test_sn_cycle_prove_verify(proven):
     assert snc.verify(pp, proof)
 
 
+def test_sn_cycle_compress(proven):
+    from lurk_tpu.proof.prover_supernova_cycle import (
+        compress_sn_cycle, verify_compressed_sn_cycle,
+    )
+    pp, proof, _ = proven
+    cp = compress_sn_cycle(pp, proof)
+    assert verify_compressed_sn_cycle(pp, cp)
+    bad = dataclasses.replace(cp, zn=[cp.zn[0] + 1, cp.zn[1]])
+    assert not verify_compressed_sn_cycle(pp, bad)
+
+
 def test_sn_cycle_tamper(proven):
     pp, proof, _ = proven
     bad = dataclasses.replace(proof, zn=[proof.zn[0] + 1, proof.zn[1]])
