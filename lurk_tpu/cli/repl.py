@@ -587,20 +587,17 @@ class Repl:
 
     def _get_properties(self, props: List[Ptr],
                         keys: List[str]) -> Dict[str, Ptr]:
-        """Parse a keyword plist (:key value ...)."""
+        """Find `:key value` pairs for the KNOWN keys; unknown keywords
+        are silently ignored (repl/mod.rs:244-260 scans the list for
+        each known key only — the reference demos use e.g. :descr)."""
         out: Dict[str, Ptr] = {}
-        i = 0
-        while i + 1 < len(props) + 1 and i < len(props):
-            key_sym = self.store.fetch_symbol(props[i])
-            if key_sym is None or not key_sym.keyword:
-                raise ReplError("expected keyword in property list")
-            key = key_sym.path[-1]
-            if key not in keys:
-                raise ReplError(f"unknown property :{key}")
-            if i + 1 >= len(props):
-                raise ReplError(f"missing value for :{key}")
-            out[key] = props[i + 1]
-            i += 2
+        s = self.store
+        for key in keys:
+            key_ptr = s.key(key)
+            for i, ptr in enumerate(props):
+                if ptr == key_ptr and i + 1 < len(props):
+                    out[key] = props[i + 1]
+                    break
         return out
 
     def _meta_defprotocol(self, args: Ptr) -> None:
