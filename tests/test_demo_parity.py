@@ -93,3 +93,18 @@ def test_functional_commitment_demo_end_to_end(tmp_path, monkeypatch):
     repl = Repl(Store(BN256_SCALAR), rc=10, backend="supernova")
     from pathlib import Path
     repl.load_file(Path(DEMO) / "functional-commitment.lurk")
+
+
+def test_vdf_and_bank_claim_keys(tmp_path, monkeypatch):
+    """demo/vdf.lurk:54 and demo/bank.lurk hard-coded proof keys: the
+    claim hashes reproduce (proving covered by the slow end-to-end
+    runs; these pin the claims)."""
+    repl = make_repl(tmp_path, monkeypatch)
+    keys = []
+    repl.prove_frames, _ = _capture_keys(repl, keys)
+    import pathlib
+    src = pathlib.Path(DEMO, "vdf.lurk").read_text()
+    src = src[:src.index('!(verify')]
+    repl.load_string(src)
+    assert keys == ["supernova_bn256_10_2b96123c7e47229622beeef7080c005"
+                    "e9d18ed0cfd2c0b7f06e1d9f1cfcf83a8"]
