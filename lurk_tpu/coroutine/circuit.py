@@ -268,6 +268,18 @@ class CoroutineCircuit:
         z_out_nums = [alloc_input_num(cs, v) for v in z_out]
         ptrs = [AllocatedPtr(z_in_nums[2 * i], z_in_nums[2 * i + 1])
                 for i in range(6)]
+        outs = self.synthesize_with_inputs(cs, ptrs)
+        for i, ptr in enumerate(outs):
+            enforce_equal(cs, ptr.tag, z_out_nums[2 * i])
+            enforce_equal(cs, ptr.hash, z_out_nums[2 * i + 1])
+
+    def synthesize_with_inputs(self, cs: ConstraintSystem,
+                               ptrs: List[AllocatedPtr]
+                               ) -> List[AllocatedPtr]:
+        """Core step over pre-allocated z pointers (also the step_fn of
+        the cycle NIVC prover, coroutine/prove_cycle.py)."""
+        s = self.scope.store
+        synth = _synth(cs, s)
         c, e, k, acc, transcript, r_ptr = ptrs
         scope_c = CircuitScope(synth, self.scope, r_ptr.hash, acc,
                                transcript)
@@ -287,10 +299,7 @@ class CoroutineCircuit:
                 not_dummy)
             scope_c.acc = pick_ptr(cs, not_dummy, new_acc, scope_c.acc)
             scope_c.transcript = new_transcript
-        outs = [c, e, k, scope_c.acc, scope_c.transcript, r_ptr]
-        for i, ptr in enumerate(outs):
-            enforce_equal(cs, ptr.tag, z_out_nums[2 * i])
-            enforce_equal(cs, ptr.hash, z_out_nums[2 * i + 1])
+        return [c, e, k, scope_c.acc, scope_c.transcript, r_ptr]
 
     def instance(self, z_in: List[int], z_out: List[int],
                  shape_check: bool = False):

@@ -85,6 +85,9 @@ class SnPrimaryCfg:
     # step_fn(cs, zi_nums, step_aux) -> (z_next_nums, pc_next_num)
     step_fn: Callable[[ConstraintSystem, List[Num], Any],
                       Tuple[List[Num], Num]]
+    # whether a chain may START at this circuit (Lurk: only pc 0;
+    # memoset: any index)
+    base_allowed: bool = False
 
 
 @dataclasses.dataclass
@@ -127,8 +130,7 @@ def synthesize_sn_primary(cs: ConstraintSystem, cfg: SnPrimaryCfg,
 
     # pc binding: this circuit IS index circuit_index
     enforce_equal(cs, pc_in, Num.constant(cs, cfg.circuit_index))
-    # only circuit 0 may run the base step
-    if cfg.circuit_index != 0:
+    if not cfg.base_allowed and cfg.circuit_index != 0:
         cs.enforce(base.lc(cs), {ConstraintSystem.ONE_VAR: 1}, {})
 
     # input-hash integrity

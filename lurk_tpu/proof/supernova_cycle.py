@@ -79,10 +79,11 @@ class SnCyclePublicParams:
 
     @staticmethod
     def setup(field1: FieldSpec, io_arity: int, step_fns,
-              dummy_z0: List[int], dummy_auxes: List[Any]
-              ) -> "SnCyclePublicParams":
+              dummy_z0: List[int], dummy_auxes: List[Any],
+              base_allowed: bool = False) -> "SnCyclePublicParams":
         """step_fns[pc](cs, zi_nums, aux) -> (z_next, pc_next);
-        dummy_auxes[pc] drives the shape synthesis of circuit pc."""
+        dummy_auxes[pc] drives the shape synthesis of circuit pc.
+        base_allowed lets chains START at any circuit index."""
         curve1 = CURVE_FOR_FIELD[field1.name]
         field2 = curve1.base
         curve2 = CURVE_FOR_FIELD[field2.name]
@@ -90,7 +91,8 @@ class SnCyclePublicParams:
         n = len(step_fns)
         cfg1s = [SnPrimaryCfg(curve_other=curve2, p_other=field2.modulus,
                               io_arity=io_arity, circuit_index=pc,
-                              step_fn=step_fns[pc])
+                              step_fn=step_fns[pc],
+                              base_allowed=base_allowed)
                  for pc in range(n)]
         cfg2 = SnSecondaryCfg(curve_other=curve1,
                               p_other=field1.modulus, n_circuits=n)
@@ -146,12 +148,13 @@ class SnCycleProof:
 class SnCycleSNARK:
     """Incremental NIVC prover (supernova RecursiveSNARK parity)."""
 
-    def __init__(self, pp: SnCyclePublicParams, z0: Sequence[int]):
+    def __init__(self, pp: SnCyclePublicParams, z0: Sequence[int],
+                 initial_pc: int = 0):
         self.pp = pp
         self.z0 = [v % pp.field1.modulus for v in z0]
         self.zi = list(self.z0)
         self.i = 0
-        self.pc = 0                    # pc of the NEXT step to prove
+        self.pc = initial_pc           # pc of the NEXT step to prove
         self.h = 0
         self.g = 0
         self.U1 = [_default_relaxed() for _ in range(pp.n_circuits)]
