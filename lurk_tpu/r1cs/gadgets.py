@@ -31,11 +31,17 @@ class Num:
 
 def alloc_num(cs: ConstraintSystem, value: int) -> Num:
     var = cs.alloc(value)
+    if cs.witness_only:
+        # LCs are never consumed without constraints; empty LCs make all
+        # downstream linear algebra free (WitnessCS parity)
+        return Num({}, value % cs.p)
     return Num({var: 1}, value % cs.p)
 
 
 def alloc_input_num(cs: ConstraintSystem, value: int) -> Num:
     var = cs.alloc_input(value)
+    if cs.witness_only:
+        return Num({}, value % cs.p)
     return Num({var: 1}, value % cs.p)
 
 
