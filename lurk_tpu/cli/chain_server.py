@@ -6,12 +6,12 @@ evaluates `(callable arg)`, proves it, extracts the next callable from
 the result's cdr, commits to it and carries the proving session across
 calls, with session dump/resume to disk.
 
-Transport deviation (documented): the reference uses tonic/gRPC
-(`chain-server/proto/chain-server.proto`); this serves the same two RPCs
-(`config`, `chain`) as JSON over HTTP via the stdlib http.server, since
-the image carries no gRPC python codegen. Payload shapes mirror the
-proto messages (ChainRequest { callable?, arg }, ChainResponse
-{ result, next_callable, proof }).
+Transports: real gRPC (serve_grpc — the reference's wire protocol,
+`chain-server/proto/chain-server.proto`, service
+chain_prover.ChainProver with Config/Chain; the single-bytes-field proto
+messages are hand-encoded so no codegen is required) and a JSON/HTTP
+fallback (serve). Inner payloads are JSON where the reference uses
+bincode-serialized Rust structs (documented encoding deviation).
 """
 
 from __future__ import annotations
@@ -38,6 +38,7 @@ class ChainState:
                  limit: int = 100_000):
         self.store = store
         self.callable = callable_ptr
+        self.callable_digest: Optional[int] = None
         self.rc = rc
         self.limit = limit
         self.lock = threading.Lock()
@@ -55,11 +56,26 @@ class ChainState:
                 pair = None
             if pair is None:
                 return {"error": "chain result is not a pair"}
-            result, next_callable = pair
+            result, next_comm = pair
             s.hydrate_z_cache()
-            comm = Commitment.new(0, next_callable, s)
+            if next_comm.tag == ExprTag.Comm:
+                # the next callable is the commitment made in-eval;
+                # persist its opening and keep the OPENED function as
+                # the callable (the reference evaluates
+                # ((open hash) arg) each call)
+                digest = s.hash_ptr(next_comm).digest
+                opened = s.open(digest)
+                if opened is None:
+                    return {"error":
+                            "chained commitment not opened in-store"}
+                secret, fun = opened
+                comm = Commitment.new(secret, fun, s)
+                self.callable = fun
+            else:
+                comm = Commitment.new(0, next_comm, s)
+                self.callable = next_comm
             comm.persist()
-            self.callable = s.comm(comm.digest)
+            self.callable_digest = comm.digest
             self.calls += 1
             resp = {
                 "result": self._dump_ptr(result),
@@ -85,21 +101,30 @@ class ChainState:
         }
 
     def dump_session(self, path: Path) -> None:
-        z = self.store.hash_ptr(self.callable)
+        s = self.store
+        digest = self.callable_digest
+        if digest is None:
+            s.hydrate_z_cache()
+            comm = Commitment.new(0, self.callable, s)
+            comm.persist()
+            digest = comm.digest
         path.write_text(json.dumps({
-            "field": self.store.field.name,
+            "field": s.field.name,
             "rc": self.rc,
             "calls": self.calls,
-            "callable": {"tag": z.tag, "digest": f"{z.digest:x}"},
+            "callable_comm": f"{digest:x}",
         }))
 
     @staticmethod
     def resume(path: Path, store: Store) -> "ChainState":
         d = json.loads(path.read_text())
-        digest = int(d["callable"]["digest"], 16)
+        digest = int(d["callable_comm"], 16)
         if not store.can_open(digest):
-            Commitment.load(digest, store)
-        state = ChainState(store, store.comm(digest), rc=d["rc"])
+            assert Commitment.load(digest, store), \
+                "session commitment not in the cache"
+        _, fun = store.open(digest)
+        state = ChainState(store, fun, rc=d["rc"])
+        state.callable_digest = digest
         state.calls = d["calls"]
         return state
 
@@ -193,3 +218,113 @@ def main(argv=None) -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+# ---------------------------------------------------------------------------
+# gRPC transport: the reference's actual wire protocol
+# (chain-server/proto/chain-server.proto — service chain_prover.ChainProver
+# with Config/Chain RPCs whose messages are single-`bytes` wrappers).
+# The one-field proto messages are en/decoded by hand, so no codegen is
+# needed; the inner payload stays the documented JSON encoding.
+# ---------------------------------------------------------------------------
+
+
+def _pb_wrap(data: bytes) -> bytes:
+    """Encode `bytes field = 1` (tag 0x0a + varint length + data)."""
+    out = bytearray(b"\x0a")
+    n = len(data)
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            break
+    return bytes(out) + data
+
+
+def _pb_unwrap(msg: bytes) -> bytes:
+    if not msg:
+        return b""
+    assert msg[0] == 0x0A, "expected field 1 (bytes)"
+    n = 0
+    shift = 0
+    i = 1
+    while True:
+        b = msg[i]
+        n |= (b & 0x7F) << shift
+        shift += 7
+        i += 1
+        if not (b & 0x80):
+            break
+    return msg[i:i + n]
+
+
+def serve_grpc(state: ChainState, port: int = 50051):
+    """Serve ChainProver over real gRPC (server.rs:633-703 parity)."""
+    import grpc
+
+    def config_rpc(request: bytes, context) -> bytes:
+        z = state.store.hash_ptr(state.callable)
+        return json.dumps({
+            "field": state.store.field.name,
+            "rc": state.rc,
+            "callable": {"tag": z.tag, "digest": f"{z.digest:x}"},
+        }).encode()
+
+    def chain_rpc(request: bytes, context) -> bytes:
+        req = json.loads(request.decode() or "{}")
+        s = state.store
+        arg_ptr = _parse_arg(state, req)
+        resp = state.chain(arg_ptr, prove=bool(req.get("prove", True)))
+        return json.dumps(resp).encode()
+
+    handlers = grpc.method_handlers_generic_handler(
+        "chain_prover.ChainProver",
+        {
+            "Config": grpc.unary_unary_rpc_method_handler(
+                config_rpc, request_deserializer=_pb_unwrap,
+                response_serializer=_pb_wrap),
+            "Chain": grpc.unary_unary_rpc_method_handler(
+                chain_rpc, request_deserializer=_pb_unwrap,
+                response_serializer=_pb_wrap),
+        },
+    )
+    from concurrent import futures
+    server = grpc.server(futures.ThreadPoolExecutor(max_workers=4))
+    server.add_generic_rpc_handlers((handlers,))
+    bound = server.add_insecure_port(f"127.0.0.1:{port}")
+    server.start()
+    return server, bound
+
+
+def _parse_arg(state: ChainState, req: dict) -> Ptr:
+    s = state.store
+    if "arg_zdag" in req:
+        d = req["arg_zdag"]
+        z_dag = ZDag.from_json(d["zdag"])
+        root = ZPtr(d["root"]["tag"], int(d["root"]["digest"], 16))
+        return z_dag.populate_store(root, s)
+    from ..parser import read_with_default_state
+    return read_with_default_state(s, str(req.get("arg", "nil")))
+
+
+class GrpcChainClient:
+    """Minimal client mirroring chain-server/src/client.rs."""
+
+    def __init__(self, addr: str):
+        import grpc
+        self._channel = grpc.insecure_channel(addr)
+
+    def _call(self, method: str, payload: bytes) -> bytes:
+        fn = self._channel.unary_unary(
+            f"/chain_prover.ChainProver/{method}",
+            request_serializer=_pb_wrap,
+            response_deserializer=_pb_unwrap)
+        return fn(payload)
+
+    def config(self) -> dict:
+        return json.loads(self._call("Config", b"").decode())
+
+    def chain(self, arg: str, prove: bool = True) -> dict:
+        payload = json.dumps({"arg": arg, "prove": prove}).encode()
+        return json.loads(self._call("Chain", payload).decode())

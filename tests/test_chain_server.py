@@ -69,3 +69,38 @@ def test_http_endpoints(store, tmp_path, monkeypatch):
         assert out["next_callable"].startswith("0x")
     finally:
         server.shutdown()
+
+
+def test_grpc_chain_roundtrip(tmp_path, monkeypatch):
+    """Real gRPC transport (proto service chain_prover.ChainProver):
+    Config + two chained calls over the counter example."""
+    pytest.importorskip("grpc")
+    monkeypatch.setenv("LURK_TPU_CACHE", str(tmp_path))
+    from lurk_tpu.cli.chain_server import (
+        ChainState, GrpcChainClient, serve_grpc,
+    )
+    from lurk_tpu.fields import BN256_SCALAR
+    from lurk_tpu.lem import evaluation as ev
+    from lurk_tpu.parser import read_with_default_state
+    from lurk_tpu.store.core import Store
+
+    store = Store(BN256_SCALAR)
+    src = ("(letrec ((add (lambda (counter x)"
+           " (let ((counter (+ counter x)))"
+           " (cons counter (commit (add counter)))))))"
+           " (add 0))")
+    expr = read_with_default_state(store, src)
+    frames = ev.evaluate(None, expr, store, 10000)
+    callable_ptr = frames[-1].output[0]
+    state = ChainState(store, callable_ptr, rc=5, limit=10000)
+    server, port = serve_grpc(state, port=0)
+    try:
+        client = GrpcChainClient(f"127.0.0.1:{port}")
+        cfg = client.config()
+        assert cfg["field"] == "bn256" and cfg["rc"] == 5
+        r1 = client.chain("9", prove=False)
+        assert r1["next_callable"].startswith("0x")
+        r2 = client.chain("12", prove=False)
+        assert r2["next_callable"] != r1["next_callable"]
+    finally:
+        server.stop(0)
