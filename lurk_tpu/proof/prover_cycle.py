@@ -30,14 +30,16 @@ from .nova_cycle import (
 )
 
 
-def multiframe_step_fn(lurk_step: ir.Func, store: Store,
+def multiframe_step_fn(lurk_step: ir.Func,
                        cproc_synthesizers: Optional[Dict] = None):
     """Step callback for the primary augmented circuit: rc chained Lurk
     frame syntheses (multiframe.rs:596-712 functionality), inputs/outputs
-    as the 6-scalar z vector."""
+    as the 6-scalar z vector. The STORE travels in step_aux so cached
+    public params stay valid across stores (shapes are store-free)."""
     from ..lem.circuit import AllocatedPtr, synthesize_frame_with_inputs
 
-    def step(cs, zi, frames: List[Frame]):
+    def step(cs, zi, aux):
+        frames, store = aux
         current = [AllocatedPtr(zi[2 * i], zi[2 * i + 1])
                    for i in range(3)]
         for frame in frames:
@@ -67,14 +69,14 @@ def cycle_public_params(store: Store, rc: int, lurk_step: ir.Func,
     if pp is not None:
         return pp
     synths = lang.circuit_synthesizers() if lang is not None else None
-    step_fn = multiframe_step_fn(lurk_step, store, synths)
+    step_fn = multiframe_step_fn(lurk_step, synths)
     nil = store.intern_nil()
     frames = ev.evaluate(None, nil, store, rc)
     store.hydrate_z_cache()
     mfs = MultiFrame.from_frames(frames, rc, lurk_step, store, lang)
     dummy_z0 = mfs[0].z_in
     pp = CyclePublicParams.setup(store.field, 6, step_fn, dummy_z0,
-                                 mfs[0].frames)
+                                 (mfs[0].frames, store))
     _CYCLE_PP_CACHE[key] = pp
     return pp
 
@@ -114,7 +116,7 @@ class CycleNovaProver:
         pp = cycle_public_params(store, self.rc, step, self.lang)
         snark = CycleSNARK(pp, mframes[0].z_in)
         for mf in mframes:
-            snark.prove_step(mf.z_out, step_aux=mf.frames,
+            snark.prove_step(mf.z_out, step_aux=(mf.frames, store),
                              check=self.check_steps)
         return pp, snark.finish()
 

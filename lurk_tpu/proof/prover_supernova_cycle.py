@@ -26,16 +26,18 @@ from .supernova_cycle import (
 )
 
 
-def _chunk_step_fn(func: ir.Func, store: Store,
+def _chunk_step_fn(func: ir.Func,
                    cproc_synthesizers: Optional[Dict] = None):
     """Primary step callback: chain the chunk's frame syntheses; the
     next circuit index is allocated as advice (multiframe.rs:922-966:
-    the reference's supernova StepCircuit also allocates next_pc)."""
+    the reference's supernova StepCircuit also allocates next_pc). The
+    STORE travels in step_aux so cached public params stay valid across
+    stores."""
     from ..lem.circuit import AllocatedPtr, synthesize_frame_with_inputs
     from ..r1cs.gadgets import alloc_num
 
     def step(cs, zi, aux):
-        frames, next_pc = aux
+        frames, next_pc, store = aux
         current = [AllocatedPtr(zi[2 * i], zi[2 * i + 1])
                    for i in range(3)]
         for frame in frames:
@@ -63,17 +65,18 @@ def sn_cycle_public_params(store: Store, rc: int, lurk_step: ir.Func,
     if pp is not None:
         return pp
     synths = lang.circuit_synthesizers() if lang is not None else None
-    step_fns = [_chunk_step_fn(lurk_step, store, synths)]
+    step_fns = [_chunk_step_fn(lurk_step, synths)]
     for func in cprocs:
-        step_fns.append(_chunk_step_fn(func, store, synths))
+        step_fns.append(_chunk_step_fn(func, synths))
     # dummy auxes for shape synthesis
     nil = store.intern_nil()
     frames = ev.evaluate(None, nil, store, rc)
     frames = pad_frames(frames, lurk_step, rc, store, lang)
     store.hydrate_z_cache()
-    dummy_auxes = [(frames, 0)]
+    dummy_auxes = [(frames, 0, store)]
     for func in cprocs:
-        dummy_auxes.append(([Frame.blank_frame(func, 0, store)], 0))
+        dummy_auxes.append(
+            ([Frame.blank_frame(func, 0, store)], 0, store))
     dummy_z0 = io_scalars(store, frames[0].input)
     pp = SnCyclePublicParams.setup(store.field, 6, step_fns, dummy_z0,
                                    dummy_auxes)
@@ -124,7 +127,7 @@ class SuperNovaCycleProver:
             next_pc = padded[k + 1][0].pc if k + 1 < len(padded) else 0
             z_next = io_scalars(store, chunk[-1].output)
             snark.prove_step(pc, z_next, next_pc,
-                             step_aux=(chunk, next_pc),
+                             step_aux=(chunk, next_pc, store),
                              check=self.check_steps)
         return pp, snark.finish()
 
