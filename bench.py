@@ -29,11 +29,13 @@ def _candidates(arity):
         return jax.jit(build_pallas_sb_hasher(PALLAS_SCALAR, arity))
 
     def opt():
+        # tile=512 overflows the 16M scoped-vmem budget (delta scratch);
+        # 256 fits and matches 512's throughput at large batch
         from lurk_tpu.poseidon.pallas_mxu import (
             build_pallas_mxu_opt_hasher,
         )
         return jax.jit(build_pallas_mxu_opt_hasher(PALLAS_SCALAR, arity,
-                                                   512))
+                                                   256))
 
     def base():
         from lurk_tpu.poseidon.pallas_mxu import build_pallas_mxu_hasher
@@ -100,7 +102,7 @@ def main() -> None:
     for build in _candidates(arity):
         try:
             cand = build()
-            if _check(cand, arr, x, PALLAS_SCALAR, arity):
+            if _check(cand, arr, x, f, PALLAS_SCALAR, arity):
                 hasher = cand
                 break
         except Exception:
