@@ -29,8 +29,17 @@ def _candidates(arity):
         return jax.jit(build_pallas_sb_hasher(PALLAS_SCALAR, arity))
 
     def opt():
-        # tile=512 overflows the 16M scoped-vmem budget (delta scratch);
-        # 256 fits and matches 512's throughput at large batch
+        # raised vmem_limit admits the 2048-lane delta scratch (~23MB):
+        # bigger matmul N amortizes MXU pipeline fills (707k/s vs 639k
+        # at tile 256 on v5e)
+        from lurk_tpu.poseidon.pallas_mxu import (
+            build_pallas_mxu_opt_hasher,
+        )
+        return jax.jit(build_pallas_mxu_opt_hasher(PALLAS_SCALAR, arity,
+                                                   2048,
+                                                   vmem_limit=100 << 20))
+
+    def opt_small():
         from lurk_tpu.poseidon.pallas_mxu import (
             build_pallas_mxu_opt_hasher,
         )
@@ -41,7 +50,7 @@ def _candidates(arity):
         from lurk_tpu.poseidon.pallas_mxu import build_pallas_mxu_hasher
         return jax.jit(build_pallas_mxu_hasher(PALLAS_SCALAR, arity, 512))
 
-    return [sb, opt, base]
+    return [sb, opt, opt_small, base]
 
 
 def _check(hasher, arr, x, f, field, arity) -> bool:

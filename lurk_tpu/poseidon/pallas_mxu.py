@@ -322,7 +322,8 @@ def _planes48(limbs: List):
 
 
 def build_pallas_mxu_opt_hasher(field: FieldSpec, arity: int,
-                                tile: int = 256):
+                                tile: int = 256,
+                                vmem_limit: int | None = None):
     """Fourth-generation kernel: pallas_mxu plus the constant-folded
     partial span (partial_opt.py). Per partial round: one sliding-window
     MXU dot over past S-box outputs + a 1-element S-box — instead of a
@@ -490,6 +491,11 @@ def build_pallas_mxu_opt_hasher(field: FieldSpec, arity: int,
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
 
+    compiler_params = None
+    if vmem_limit is not None:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit)
+
     def hasher(preimages):
         b = preimages.shape[-1]
         assert b % tile == 0, f"batch {b} not a multiple of {tile}"
@@ -498,6 +504,7 @@ def build_pallas_mxu_opt_hasher(field: FieldSpec, arity: int,
             kernel,
             interpret=jax.default_backend() == "cpu",
             grid=grid,
+            compiler_params=compiler_params,
             in_specs=[
                 _whole((n_rounds, t * LZ.L)),
                 _whole(nprime_dev.shape),
