@@ -19,14 +19,17 @@ import numpy as np
 
 
 def _candidates(arity):
-    """Best-first kernel ladder: sublane-dense -> folded-partial -> base
-    MXU. A Mosaic regression (compile failure OR wrong digests) in one
-    kernel falls through to the next."""
+    """Best-first kernel ladder: int8 nibble (5th gen) -> folded-partial
+    bf16 -> base MXU. A Mosaic regression (compile failure OR wrong
+    digests) in one kernel falls through to the next."""
     from lurk_tpu.fields import PALLAS_SCALAR
 
-    def sb():
-        from lurk_tpu.poseidon.pallas_sb import build_pallas_sb_hasher
-        return jax.jit(build_pallas_sb_hasher(PALLAS_SCALAR, arity))
+    def nib():
+        # 5th-gen carry-free int8 nibble-plane kernel (pallas_nib.py)
+        from lurk_tpu.poseidon.pallas_nib import build_pallas_nib_hasher
+        return jax.jit(build_pallas_nib_hasher(PALLAS_SCALAR, arity,
+                                               2048,
+                                               vmem_limit=100 << 20))
 
     def opt():
         # raised vmem_limit admits the 2048-lane delta scratch (~23MB):
@@ -50,7 +53,7 @@ def _candidates(arity):
         from lurk_tpu.poseidon.pallas_mxu import build_pallas_mxu_hasher
         return jax.jit(build_pallas_mxu_hasher(PALLAS_SCALAR, arity, 512))
 
-    return [sb, opt, opt_small, base]
+    return [nib, opt, opt_small, base]
 
 
 def _check(hasher, arr, x, f, field, arity) -> bool:
