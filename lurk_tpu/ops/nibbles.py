@@ -328,6 +328,32 @@ def merge_smajor(rows_u32, n_limbs: int = L):
     return out
 
 
+def merge_smajor_split(rows_u32, n_limbs: int = L):
+    """merge_smajor for ACCUMULATED bins (values up to ~2^21, whose
+    plain 2^12-shifted merge would overflow uint32): per s-group the
+    bits that would exceed the 16-bit column spill into the next column.
+    Caller guarantees the top column's spill is zero (value bound).
+    Output columns < 2^19 + 2^19."""
+    cols = None
+    spills = None
+    for s in range(NIB):
+        b = rows_u32[s * n_limbs:(s + 1) * n_limbs]
+        keep_bits = 16 - 4 * s
+        lo = (b & ((1 << keep_bits) - 1)) << (4 * s)
+        sp = b >> keep_bits
+        cols = lo if cols is None else cols + lo
+        spills = sp if spills is None else spills + sp
+    return cols + shift_rows_down(spills)
+
+
+def bins_carry_pass_ext(bins, n: int):
+    """bins_carry_pass that PRESERVES the exact value by first extending
+    the array with n zero rows to absorb top carries (for T_lo bins,
+    whose exact value feeds the carry-out row). Returns [R+n, B]."""
+    pad = jnp.zeros((n,) + bins.shape[1:], dtype=bins.dtype)
+    return bins_carry_pass(jnp.concatenate([bins, pad], axis=0), n)
+
+
 def carry_out_f32(t_lo_weighted_f32, m_bins, u_row_col):
     """c = (T_lo + (m*p)_lo) / R, exact by rounding.
 

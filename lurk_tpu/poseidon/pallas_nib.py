@@ -251,6 +251,290 @@ def build_pallas_nib_hasher(field: FieldSpec, arity: int,
     return hasher
 
 
+# ---------------------------------------------------------------------------
+# folded partial rounds (constant-folded linear span, partial_opt.py)
+# ---------------------------------------------------------------------------
+
+CHUNK_SLOTS = 8          # delta-window slots per matmul chunk
+SLOT_STRIDE = 96         # rows per delta slot (68 planes + pad to 32-mult)
+
+
+@lru_cache(maxsize=None)
+def _pallas_nib_opt_constants(field: FieldSpec, arity: int):
+    """Folded-span constant pack. Deltas and s_a are stored NORMALIZED
+    (68 nibble planes each), so every u0 is one fused int8 matmul over
+    [s_a planes | sliding delta window] emitting the REDC head rows."""
+    from .partial_opt import partial_schedule
+    spec = poseidon_spec(field, arity)
+    nf = NB.nib_field(field)
+    sched = partial_schedule(field, arity)
+    t, rp = spec.width, sched.rp
+    pw = NB.plane_weights(L, 4)          # 68 planes of normalized limbs
+    ppe = len(pw)
+
+    def rows_for(c):
+        return _redc_rows_for(nf, nf.to_mont_int(int(c)), pw)
+
+    alpha = np.zeros((rp, 3 * BINS, t * ppe), dtype=np.int8)
+    for r in range(rp):
+        for i in range(t):
+            alpha[r][:, i * ppe:(i + 1) * ppe] = rows_for(sched.alpha[r][i])
+
+    n_chunks = (rp - 2) // CHUNK_SLOTS + 1
+    gmats = np.zeros((n_chunks, 3 * BINS, CHUNK_SLOTS * SLOT_STRIDE),
+                     dtype=np.int8)
+    for j in range(rp - 1):              # window position j: gamma_{rp-2-j}
+        k, jj = divmod(j, CHUNK_SLOTS)
+        gmats[k][:, jj * SLOT_STRIDE:jj * SLOT_STRIDE + ppe] = \
+            rows_for(sched.gamma[rp - 2 - j])
+
+    beta = np.zeros((rp, L, 1), dtype=np.uint32)
+    for r in range(rp):
+        beta[r, :, 0] = NB._int_to_limbs(nf.to_mont_int(sched.beta[r]))
+
+    recon_a = np.zeros((t * 3 * BINS, t * ppe), dtype=np.int8)
+    for i in range(t):
+        for k in range(t):
+            recon_a[i * 3 * BINS:(i + 1) * 3 * BINS,
+                    k * ppe:(k + 1) * ppe] = rows_for(sched.a_mat[i][k])
+
+    n_rchunks = -(-rp // CHUNK_SLOTS)
+    recon_w = np.zeros((n_rchunks, t * 3 * BINS,
+                        CHUNK_SLOTS * SLOT_STRIDE), dtype=np.int8)
+    for q in range(rp):                  # delta_q -> chunk/slot position
+        k, jj = divmod(q, CHUNK_SLOTS)
+        for i in range(t):
+            recon_w[k][i * 3 * BINS:(i + 1) * 3 * BINS,
+                       jj * SLOT_STRIDE:jj * SLOT_STRIDE + ppe] = \
+                rows_for(sched.w_mat[i][q])
+
+    bvec = np.zeros((t * L, 1), dtype=np.uint32)
+    for i in range(t):
+        bvec[i * L:(i + 1) * L, 0] = NB._int_to_limbs(
+            nf.to_mont_int(sched.b_vec[i]))
+
+    binw_ext = np.zeros((BINS + 2, 1), dtype=np.float32)
+    for r in range(BINS + 2):
+        e = 4 * r - NB.R_BITS
+        if e >= -40:
+            binw_ext[r, 0] = np.float32(2.0 ** e)
+
+    # carry passes: contraction <= t*ppe + (rp-1)*ppe nonzero terms
+    m_passes = NB.carry_passes_for((t + rp - 1) * ppe * 225)
+    return (sched, alpha, gmats, beta, recon_a, recon_w, bvec, binw_ext,
+            n_chunks, n_rchunks, m_passes)
+
+
+def _assemble_folded(rows_i32, phi, u_col, binw_ext_col, m_passes: int):
+    """REDC tail for large-accumulation fused matmuls (folded span):
+    value-preserving extended passes on T_lo, split merge on T_hi."""
+    m_bins = NB.bins_carry_pass(rows_i32[:BINS].astype(jnp.uint32),
+                                m_passes)
+    t_hi = NB.merge_smajor_split(
+        rows_i32[BINS:2 * BINS].astype(jnp.uint32))
+    t_lo = NB.bins_carry_pass_ext(
+        rows_i32[2 * BINS:3 * BINS].astype(jnp.uint32), 2)
+    tl_f = t_lo.astype(jnp.int32).astype(jnp.float32) * binw_ext_col
+    c = NB.carry_out_f32(tl_f, m_bins, u_col)
+    mp = NB.int8_matmul(phi, m_bins.astype(jnp.int32).astype(jnp.int8))
+    out = NB.merge_smajor(mp.astype(jnp.uint32)) + t_hi
+    return jnp.concatenate([out[:1] + c, out[1:]], axis=0)
+
+
+def build_pallas_nib_opt_hasher(field: FieldSpec, arity: int,
+                                tile: int = DEFAULT_TILE,
+                                vmem_limit: int | None = None):
+    """6th-gen kernel: pallas_nib full rounds + constant-folded partial
+    span. Per partial round: ONE fused int8 matmul (alpha . s_a row
+    block indexed per round, plus a chunked sliding window over
+    normalized delta planes) emits the u0 REDC head; the S-box is the
+    only per-round nonlinearity. hash(uint32[arity,16,B])->uint32[16,B]."""
+    (spec, nf, rc_np, mds_np, sq_mats, load_np, fin_mats, tag,
+     binw_np) = _pallas_nib_constants(field, arity)
+    (sched, alpha_np, gmats_np, beta_np, recon_a_np, recon_w_np,
+     bvec_np, binw_ext_np, n_chunks, n_rchunks, fold_passes) = \
+        _pallas_nib_opt_constants(field, arity)
+    t = spec.width
+    half = spec.full_rounds // 2
+    rp = spec.partial_rounds
+    assert rp == sched.rp
+    ppe = mds_np.shape[1] // t
+    mds_passes = NB.carry_passes_for(t * ppe * 225)
+    load_passes = NB.carry_passes_for(64 * 225)
+    sq_m_mat, sq_phi, sq_w, sq_u, sq_passes = sq_mats
+    fin_m_mat, _, fin_w, _, fin_passes = fin_mats
+    n_slots = rp + CHUNK_SLOTS * max(n_chunks, n_rchunks)
+
+    def kernel(rc_ref, mds_ref, sqm_ref, phi_ref, sqw_ref, u_ref,
+               binw_ref, binwx_ref, load_ref, finm_ref, finw_ref,
+               alpha_ref, gmats_ref, beta_ref, ra_ref, rw_ref, bvec_ref,
+               in_ref, out_ref, delta_ref, sa_ref):
+        bt = in_ref.shape[-1]
+        phi = phi_ref[...]
+        u_col = u_ref[...]
+        binw = binw_ref[...]
+        binwx = binwx_ref[...]
+        sq_redc = (sqm_ref[...], phi, sqw_ref[...], u_col, sq_passes)
+
+        def sbox(u_cols):
+            un = NB.normalize(u_cols)
+            x2 = NB.redc_cols(sq_redc, NB.square_cols(un), SQ_COL_BITS)
+            x2n = NB.normalize(x2)
+            x4 = NB.redc_cols(sq_redc, NB.square_cols(x2n), SQ_COL_BITS)
+            x4n = NB.normalize(x4)
+            return NB.redc_cols(
+                sq_redc, NB.product_cols(x4n, un), SQ_COL_BITS)
+
+        def mds_layer(els: List):
+            planes = jnp.concatenate(
+                [NB.cols_to_planes(e, STATE_COL_BITS) for e in els],
+                axis=0)
+            rows = NB.int8_matmul(mds_ref[...], planes)
+            return [
+                _assemble_redc_out(rows[j * 3 * BINS:(j + 1) * 3 * BINS],
+                                   phi, u_col, binw, mds_passes)
+                for j in range(t)]
+
+        def unstack(st):
+            return [st[i * L:(i + 1) * L] for i in range(t)]
+
+        def full_round(r, st):
+            st = st + rc_ref[r]
+            els = [sbox(e) for e in unstack(st)]
+            return jnp.concatenate(mds_layer(els), axis=0)
+
+        # ---- load + to-Montgomery ----
+        els = []
+        for a in range(arity):
+            planes = NB.cols_to_planes(in_ref[a], IN_COL_BITS)
+            rows = NB.int8_matmul(load_ref[...], planes)
+            els.append(_assemble_redc_out(rows, phi, u_col, binw,
+                                          load_passes))
+        tag_cols = jnp.concatenate(
+            [jnp.full((1, bt), int(tag[k]), dtype=jnp.uint32)
+             for k in range(L)], axis=0)
+        st = jnp.concatenate([tag_cols] + els, axis=0)
+
+        # ---- first half full rounds ----
+        st = jax.lax.fori_loop(0, half, full_round, st)
+
+        # ---- folded partial span ----
+        sa_planes = jnp.concatenate(
+            [NB.cols_to_planes(NB.normalize(e), IN_COL_BITS)
+             for e in unstack(st)], axis=0)                 # [t*68, B]
+        sa_ref[...] = sa_planes
+        delta_ref[...] = jnp.zeros(delta_ref.shape, delta_ref.dtype)
+
+        def partial_round(r, _):
+            acc = NB.int8_matmul(alpha_ref[r], sa_ref[...])
+            k0 = jnp.maximum(0, (rp - r - 1) // CHUNK_SLOTS)
+
+            def chunk(k, acc):
+                win = delta_ref[pl.ds(
+                    (r + 1) * SLOT_STRIDE
+                    + k * (CHUNK_SLOTS * SLOT_STRIDE),
+                    CHUNK_SLOTS * SLOT_STRIDE), :]
+                return acc + NB.int8_matmul(gmats_ref[k], win)
+
+            acc = jax.lax.fori_loop(k0, n_chunks, chunk, acc)
+            u0 = _assemble_folded(acc, phi, u_col, binwx, fold_passes)
+            u0 = u0 + beta_ref[r]
+            x5 = sbox(u0)
+            d_planes = NB.cols_to_planes(NB.normalize(x5), IN_COL_BITS)
+            pad = jnp.zeros((SLOT_STRIDE - d_planes.shape[0], bt),
+                            dtype=jnp.int8)
+            delta_ref[pl.ds((rp + r) * SLOT_STRIDE, SLOT_STRIDE), :] = \
+                jnp.concatenate([d_planes, pad], axis=0)
+            return 0
+
+        jax.lax.fori_loop(0, rp, partial_round, 0)
+
+        # ---- reconstruction ----
+        acc = NB.int8_matmul(ra_ref[...], sa_ref[...])      # [t*204, B]
+
+        def rchunk(k, acc):
+            win = delta_ref[pl.ds(
+                rp * SLOT_STRIDE + k * (CHUNK_SLOTS * SLOT_STRIDE),
+                CHUNK_SLOTS * SLOT_STRIDE), :]
+            return acc + NB.int8_matmul(rw_ref[k], win)
+
+        acc = jax.lax.fori_loop(0, n_rchunks, rchunk, acc)
+        st = jnp.concatenate(
+            [_assemble_folded(acc[j * 3 * BINS:(j + 1) * 3 * BINS],
+                              phi, u_col, binwx, fold_passes)
+             for j in range(t)], axis=0)
+        st = st + bvec_ref[...]
+
+        # ---- second half full rounds ----
+        st = jax.lax.fori_loop(half + rp, half + rp + half, full_round,
+                               st)
+
+        # ---- digest ----
+        s1n = NB.normalize(st[L:2 * L])
+        fin_redc = (finm_ref[...], phi, finw_ref[...], u_col, fin_passes)
+        d = NB.redc_cols(fin_redc, s1n, IN_COL_BITS)
+        dn = NB.normalize(d)
+        for k_mult in (8, 4, 2, 1, 1):
+            dn = NB.cond_sub_const(dn, NB._int_to_limbs(
+                k_mult * nf.modulus))
+        out_ref[...] = dn[:16]
+
+    rc_dev = jnp.asarray(rc_np)
+    mds_dev = jnp.asarray(mds_np)
+    sqm_dev = jnp.asarray(sq_m_mat)
+    phi_dev = jnp.asarray(nf.p_hi_mat)
+    sqw_dev = jnp.asarray(sq_w)
+    u_dev = jnp.asarray(sq_u)
+    binw_dev = jnp.asarray(binw_np)
+    binwx_dev = jnp.asarray(binw_ext_np)
+    load_dev = jnp.asarray(load_np)
+    finm_dev = jnp.asarray(fin_m_mat)
+    finw_dev = jnp.asarray(fin_w)
+    alpha_dev = jnp.asarray(alpha_np)
+    gmats_dev = jnp.asarray(gmats_np)
+    beta_dev = jnp.asarray(beta_np)
+    ra_dev = jnp.asarray(recon_a_np)
+    rw_dev = jnp.asarray(recon_w_np)
+    bvec_dev = jnp.asarray(bvec_np)
+
+    def _whole(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    compiler_params = None
+    if vmem_limit is not None:
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)
+
+    def hasher(preimages):
+        b = preimages.shape[-1]
+        assert b % tile == 0, f"batch {b} not a multiple of {tile}"
+        grid = (b // tile,)
+        consts = [rc_dev, mds_dev, sqm_dev, phi_dev, sqw_dev, u_dev,
+                  binw_dev, binwx_dev, load_dev, finm_dev, finw_dev,
+                  alpha_dev, gmats_dev, beta_dev, ra_dev, rw_dev,
+                  bvec_dev]
+        return pl.pallas_call(
+            kernel,
+            interpret=jax.default_backend() == "cpu",
+            grid=grid,
+            compiler_params=compiler_params,
+            in_specs=[
+                *[_whole(c.shape) for c in consts],
+                pl.BlockSpec((arity, 16, tile), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((16, tile), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((16, b), jnp.uint32),
+            scratch_shapes=[
+                pltpu.VMEM((n_slots * SLOT_STRIDE, tile), jnp.int8),
+                pltpu.VMEM((t * 68, tile), jnp.int8),
+            ],
+        )(*consts, preimages)
+
+    return hasher
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def _hash_pallas_nib_jit(field: FieldSpec, arity: int, tile: int,
                          preimages):
