@@ -76,23 +76,41 @@ def build_variant(arity, tile, mode):
         def partial_round(r, st):
             return round_body(r, st, 1)
 
-        els = []
-        for a in range(arity):
-            planes = NB.cols_to_planes(in_ref[a], 16)
-            rows = NB.int8_matmul(load_ref[...], planes)
-            els.append(PN._assemble_redc_out(rows, phi, u_col, binw,
-                                             load_passes))
-        tag_cols = jnp.concatenate(
-            [jnp.full((1, bt), int(tag[k]), dtype=jnp.uint32)
-             for k in range(L)], axis=0)
-        st = jnp.concatenate([tag_cols] + els, axis=0)
-        st = jax.lax.fori_loop(0, half, full_round, st)
-        st = jax.lax.fori_loop(half, half + rp, partial_round, st)
-        st = jax.lax.fori_loop(half + rp, half + rp + half, full_round, st)
-        s1n = NB.normalize(st[L:2 * L])
+        n_ways = 2 if mode == "pipelined2" else 1
+        bw = bt // n_ways
+
+        def load_state(lane0):
+            els = []
+            for a in range(arity):
+                planes = NB.cols_to_planes(
+                    in_ref[a, :, lane0:lane0 + bw], 16)
+                rows = NB.int8_matmul(load_ref[...], planes)
+                els.append(PN._assemble_redc_out(rows, phi, u_col, binw,
+                                                 load_passes))
+            tag_cols = jnp.concatenate(
+                [jnp.full((1, bw), int(tag[k]), dtype=jnp.uint32)
+                 for k in range(L)], axis=0)
+            return jnp.concatenate([tag_cols] + els, axis=0)
+
+        def multi(body):
+            def wrapped(r, sts):
+                return tuple(body(r, s) for s in sts)
+            return wrapped
+
+        sts = tuple(load_state(w * bw) for w in range(n_ways))
+        sts = jax.lax.fori_loop(0, half, multi(full_round), sts)
+        sts = jax.lax.fori_loop(half, half + rp, multi(partial_round),
+                                sts)
+        sts = jax.lax.fori_loop(half + rp, half + rp + half,
+                                multi(full_round), sts)
         fin_redc = (finm_ref[...], phi, finw_ref[...], u_col, fin_passes)
-        d = NB.redc_cols(fin_redc, s1n, 16)
-        out_ref[...] = NB.normalize(d)[:16]
+        outs = []
+        for st in sts:
+            s1n = NB.normalize(st[L:2 * L])
+            d = NB.redc_cols(fin_redc, s1n, 16)
+            outs.append(NB.normalize(d)[:16])
+        out_ref[...] = (outs[0] if n_ways == 1
+                        else jnp.concatenate(outs, axis=1))
 
     rc_dev = jnp.asarray(rc_np)
     consts = [rc_dev, jnp.asarray(mds_np), jnp.asarray(sq_m_mat),
@@ -130,7 +148,7 @@ def main():
     arr = rng.integers(0, 1 << 16, size=(arity, 16, batch),
                        dtype=np.uint32)
     x = jnp.asarray(arr)
-    for mode in ("full", "mxu_only", "vpu_only"):
+    for mode in ("pipelined2", "full"):
         h = jax.jit(build_variant(arity, tile, mode))
         h(x).block_until_ready()
         n = 10
