@@ -234,6 +234,10 @@ class Curve:
         y = self.sqrt(y2)
         if y is None:
             return None
+        if y == 0:
+            # unreachable in practice; an odd-parity request on y=0 is
+            # a rejection (matches native/pedersen.cpp)
+            return (x, 0) if not y_is_odd else None
         if (y & 1) != int(y_is_odd):
             y = self.p - y
         return (x, y)
@@ -255,7 +259,14 @@ class Curve:
     def derive_generators_from(self, label: bytes, start: int,
                                end: int) -> List[Affine]:
         """Generators for indices [start, end) — per-index rejection
-        sampling so the sequence is extendable (params cache growth)."""
+        sampling so the sequence is extendable (params cache growth).
+        Routes to the native threaded deriver (native/pedersen.cpp,
+        bit-exact) when available; pure-python fallback below."""
+        if end - start >= 64:
+            from ..native import pedersen as npe
+            native = npe.derive_generators_from(self, label, start, end)
+            if native is not None:
+                return native
         out: List[Affine] = []
         for i in range(start, end):
             for attempt in range(256):

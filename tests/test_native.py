@@ -102,3 +102,26 @@ def test_native_r1cs_matches_python(field):
                                [0] * shape.num_constraints)
     bad_e = [1] + [0] * (shape.num_constraints - 1)
     assert not nr1cs.check_relaxed(shape, z2, 1, bad_e)
+
+
+def test_native_pedersen_generators_bit_exact():
+    """native/pedersen.cpp (shake256 try-and-increment + Tonelli-Shanks)
+    vs the pure-python deriver, all four curves, incl. offsets."""
+    from lurk_tpu.curves.weierstrass import (
+        BN254_G1, GRUMPKIN, PALLAS, VESTA,
+    )
+    from lurk_tpu.native import pedersen as npe
+
+    if not npe.available():
+        import pytest
+        pytest.skip("no native toolchain")
+    for curve in (PALLAS, VESTA, BN254_G1, GRUMPKIN):
+        # < 64 generators routes derive_generators_from to pure python
+        py = curve.derive_generators_from(b"ck-test", 0, 40)
+        nat = npe.derive_generators_from(curve, b"ck-test", 0, 40)
+        assert nat == py, curve.name
+        py_off = curve.derive_generators_from(b"ck-test", 37, 40)
+        nat_off = npe.derive_generators_from(curve, b"ck-test", 37, 40)
+        assert nat_off == py_off == py[37:40], curve.name
+        for x, y in nat:
+            assert (y * y - (x ** 3 + curve.b)) % curve.p == 0
