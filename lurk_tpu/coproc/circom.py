@@ -200,12 +200,16 @@ def create_circom_gadget(folder, reference: str,
 
 @dataclasses.dataclass
 class CircomGadget:
-    """A loaded gadget; `witness_cmd` (if set) is invoked as
-    `cmd <input.json> <output.wtns>` to compute witnesses — the offline
-    stand-in for the reference's WASM calculator."""
+    """A loaded gadget. Witness sources, in priority order: the
+    circom-compiled `<name>.wasm` run by the offline wasm interpreter
+    (coproc/wasm_witness.py — the reference's own mechanism, via
+    circom-scotia's witness calculator); an external `witness_cmd`
+    invoked as `cmd <input.json> <output.wtns>`; a shipped static
+    `.wtns`."""
 
     reference: str
     r1cs: R1cs
+    wasm_path: Optional[str] = None
     witness_cmd: Optional[str] = None
     static_wtns: Optional[List[int]] = None
 
@@ -216,13 +220,25 @@ class CircomGadget:
         r1cs = parse_r1cs(base / f"{name}.r1cs")
         wtns_path = base / f"{name}.wtns"
         static_wtns = parse_wtns(wtns_path) if wtns_path.exists() else None
+        wasm = None
+        for cand in (base / f"{name}.wasm",
+                     base / f"{name}_js" / f"{name}.wasm"):
+            if cand.exists():
+                wasm = str(cand)
+                break
         return CircomGadget(
-            reference, r1cs,
+            reference, r1cs, wasm_path=wasm,
             witness_cmd=os.environ.get("LURK_TPU_CIRCOM_WITNESS"),
             static_wtns=static_wtns)
 
     def calculate_witness(self, inputs: Dict[str, List[int]]
                           ) -> List[int]:
+        if self.wasm_path:
+            from .wasm_witness import load_witness_calculator
+            calc = load_witness_calculator(self.wasm_path)
+            assert calc.prime == self.r1cs.prime, \
+                "wasm field does not match r1cs"
+            return calc.calculate_witness(inputs)
         if self.witness_cmd:
             import tempfile
             with tempfile.TemporaryDirectory() as td:
