@@ -241,6 +241,13 @@ class AugmentedWitness:
     new_x: List[int]              # ... and its public IO (2 elements)
     comm_t: Affine                # cross-term commitment of the fold
     step_aux: Any = None
+    # precomputed step-function witness (aux segment + z_next values):
+    # the step circuit's witness depends only on (zi, step_aux) — not on
+    # the running accumulators — so it can be generated ahead of the
+    # fold loop in parallel workers (the reference's witness-gen ∥
+    # folding pipeline, src/proof/nova.rs:297-332). witness_only replays
+    # it with one list extend.
+    step_cache: Any = None
 
 
 def synthesize_augmented(cs: ConstraintSystem, cfg: AugmentedCfg,
@@ -293,7 +300,12 @@ def synthesize_augmented(cs: ConstraintSystem, cfg: AugmentedCfg,
 
     # 4. the step function
     if cfg.io_arity:
-        z_next = cfg.step_fn(cs, zi, w.step_aux)
+        if w.step_cache is not None and cs.witness_only:
+            seg, out_values = w.step_cache
+            cs.aux.extend(seg)
+            z_next = [Num({}, v) for v in out_values]
+        else:
+            z_next = cfg.step_fn(cs, zi, w.step_aux)
         assert len(z_next) == cfg.io_arity
     else:
         z_next = []

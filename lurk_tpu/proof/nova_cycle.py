@@ -188,7 +188,7 @@ class CycleSNARK:
         self.pending: Optional[Tuple[R1CSInstance, List[int]]] = None
 
     def prove_step(self, zi_next: Sequence[int], step_aux: Any = None,
-                   check: bool = False) -> None:
+                   check: bool = False, step_cache: Any = None) -> None:
         pp = self.pp
         p1, p2 = pp.field1.modulus, pp.field2.modulus
         zi_next = [v % p1 for v in zi_next]
@@ -218,7 +218,8 @@ class CycleSNARK:
         wit1 = AugmentedWitness(
             h_in=self.h, h_out=h_next, pp=pp.pp_digest, i=self.i,
             z0=self.z0, zi=self.zi, acc=self.U2, new_w=u2.comm_w,
-            new_x=list(u2.x), comm_t=comm_t2, step_aux=step_aux)
+            new_x=list(u2.x), comm_t=comm_t2, step_aux=step_aux,
+            step_cache=step_cache)
         cs1 = ConstraintSystem(pp.field1, check=check,
                                witness_only=not check)
         z_next_nums = synthesize_augmented(cs1, pp.cfg1, wit1)

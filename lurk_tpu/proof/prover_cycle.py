@@ -115,14 +115,58 @@ class CycleNovaProver:
                                          self.lang)
         pp = cycle_public_params(store, self.rc, step, self.lang)
         snark = CycleSNARK(pp, mframes[0].z_in)
-        for mf in mframes:
+        caches = self._step_witness_caches(pp, mframes, store)
+        for mf, cache in zip(mframes, caches):
             snark.prove_step(mf.z_out, step_aux=(mf.frames, store),
-                             check=self.check_steps)
+                             check=self.check_steps, step_cache=cache)
         return pp, snark.finish()
+
+    def _step_witness_caches(self, pp, mframes, store):
+        """Witness-gen ∥ folding (reference src/proof/nova.rs:297-332):
+        each step's step-circuit witness segment depends only on
+        (z_in, frames), not on the fold accumulators, so a fork pool
+        computes all segments while the main process folds. Yields one
+        (aux_segment, z_next_values) per MultiFrame (or None each when
+        parallelism is off/unavailable)."""
+        from ..config import settings
+        if (self.check_steps or len(mframes) < 3
+                or not settings().perf.parallel_witness_gen):
+            for _ in mframes:
+                yield None
+            return
+        import multiprocessing as mp
+        try:
+            ctx = mp.get_context("fork")
+        except ValueError:
+            for _ in mframes:
+                yield None
+            return
+        global _STEP_WITNESS_ARGS
+        _STEP_WITNESS_ARGS = (pp.cfg1.step_fn, pp.field1, store)
+        n_proc = min(len(mframes), max(1, (ctx.cpu_count() or 2) - 1))
+        with ctx.Pool(n_proc) as pool:
+            yield from pool.imap(
+                _step_witness_worker,
+                [(mf.z_in, mf.frames) for mf in mframes])
 
     @staticmethod
     def verify(pp: CyclePublicParams, proof: CycleProof) -> bool:
         return cycle_verify(pp, proof)
+
+
+_STEP_WITNESS_ARGS: Optional[tuple] = None
+
+
+def _step_witness_worker(args):
+    z_in, frames = args
+    step_fn, field, store = _STEP_WITNESS_ARGS
+    from ..r1cs.cs import ConstraintSystem
+    from ..r1cs.gadgets import alloc_num
+    cs = ConstraintSystem(field, witness_only=True)
+    zi = [alloc_num(cs, v) for v in z_in]
+    n0 = len(cs.aux)
+    outs = step_fn(cs, zi, (frames, store))
+    return cs.aux[n0:], [o.value for o in outs]
 
 
 # ---------------------------------------------------------------------------

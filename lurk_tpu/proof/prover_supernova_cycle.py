@@ -122,14 +122,45 @@ class SuperNovaCycleProver:
         pp = sn_cycle_public_params(store, self.rc, lurk_step, cprocs,
                                     self.lang)
         snark = SnCycleSNARK(pp, io_scalars(store, padded[0][0].input))
-        for k, chunk in enumerate(padded):
+        caches = self._step_witness_caches(pp, padded, store)
+        for (k, chunk), cache in zip(enumerate(padded), caches):
             pc = chunk[0].pc
             next_pc = padded[k + 1][0].pc if k + 1 < len(padded) else 0
             z_next = io_scalars(store, chunk[-1].output)
             snark.prove_step(pc, z_next, next_pc,
                              step_aux=(chunk, next_pc, store),
-                             check=self.check_steps)
+                             check=self.check_steps, step_cache=cache)
         return pp, snark.finish()
+
+    def _step_witness_caches(self, pp, padded, store):
+        """Witness-gen ∥ folding for NIVC (reference
+        src/proof/supernova.rs:248-285): per-chunk step witnesses are
+        accumulator-independent; a fork pool computes (aux segment,
+        z_next, pc_next) triples while the main process folds."""
+        from ..config import settings
+        if (self.check_steps or len(padded) < 3
+                or not settings().perf.parallel_witness_gen):
+            for _ in padded:
+                yield None
+            return
+        import multiprocessing as mp
+        try:
+            ctx = mp.get_context("fork")
+        except ValueError:
+            for _ in padded:
+                yield None
+            return
+        global _SN_STEP_WITNESS_ARGS
+        _SN_STEP_WITNESS_ARGS = (pp, store)
+        jobs = []
+        for k, chunk in enumerate(padded):
+            next_pc = padded[k + 1][0].pc if k + 1 < len(padded) else 0
+            jobs.append((chunk[0].pc,
+                         io_scalars(store, chunk[0].input),
+                         chunk, next_pc))
+        n_proc = min(len(padded), max(1, (ctx.cpu_count() or 2) - 1))
+        with ctx.Pool(n_proc) as pool:
+            yield from pool.imap(_sn_step_witness_worker, jobs)
 
     @staticmethod
     def verify(pp: SnCyclePublicParams, proof: SnCycleProof) -> bool:
@@ -211,3 +242,19 @@ def verify_compressed_sn_cycle(pp: SnCyclePublicParams,
                               cp.spartans1[pc]):
             return False
     return spartan.verify(_side_pp2(pp), u2f, cp.spartan2)
+
+
+_SN_STEP_WITNESS_ARGS = None
+
+
+def _sn_step_witness_worker(args):
+    pc, z_in, chunk, next_pc = args
+    pp, store = _SN_STEP_WITNESS_ARGS
+    from ..r1cs.cs import ConstraintSystem
+    from ..r1cs.gadgets import alloc_num
+    cs = ConstraintSystem(pp.field1, witness_only=True)
+    zi = [alloc_num(cs, v) for v in z_in]
+    n0 = len(cs.aux)
+    z_next, pc_next = pp.cfg1s[pc].step_fn(cs, zi,
+                                           (chunk, next_pc, store))
+    return (cs.aux[n0:], [o.value for o in z_next], pc_next.value)

@@ -104,6 +104,11 @@ class SnPrimaryWitness:
     new_x: List[int]
     comm_t: Affine
     step_aux: Any = None
+    # precomputed step-function witness (aux segment, z_next values,
+    # pc_next value): accumulator-independent, so generated ahead of the
+    # fold loop in parallel workers (witness-gen ∥ folding — reference
+    # src/proof/supernova.rs:248-285). Replayed under witness_only.
+    step_cache: Any = None
 
 
 def synthesize_sn_primary(cs: ConstraintSystem, cfg: SnPrimaryCfg,
@@ -154,7 +159,13 @@ def synthesize_sn_primary(cs: ConstraintSystem, cfg: SnPrimaryCfg,
     acc_next = relaxed_select(cs, base, acc, folded)
 
     # the step function
-    z_next, pc_next = cfg.step_fn(cs, zi, w.step_aux)
+    if w.step_cache is not None and cs.witness_only:
+        seg, out_values, pc_next_value = w.step_cache
+        cs.aux.extend(seg)
+        z_next = [Num({}, v) for v in out_values]
+        pc_next = Num({}, pc_next_value)
+    else:
+        z_next, pc_next = cfg.step_fn(cs, zi, w.step_aux)
     assert len(z_next) == cfg.io_arity
 
     one = {ConstraintSystem.ONE_VAR: 1}

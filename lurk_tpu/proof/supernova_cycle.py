@@ -164,7 +164,8 @@ class SnCycleSNARK:
         self.pending: Optional[Tuple[R1CSInstance, List[int]]] = None
 
     def prove_step(self, pc: int, zi_next: Sequence[int], pc_next: int,
-                   step_aux: Any = None, check: bool = False) -> None:
+                   step_aux: Any = None, check: bool = False,
+                   step_cache: Any = None) -> None:
         pp = self.pp
         assert pc == self.pc, f"expected circuit {self.pc}, got {pc}"
         p1, p2 = pp.field1.modulus, pp.field2.modulus
@@ -195,7 +196,7 @@ class SnCycleSNARK:
             h_in=self.h, h_out=h_next, pp=pp.pp_digest, i=self.i,
             z0=self.z0, zi=self.zi, pc_in=pc, acc=self.U2,
             new_w=u2.comm_w, new_x=list(u2.x), comm_t=comm_t2,
-            step_aux=step_aux)
+            step_aux=step_aux, step_cache=step_cache)
         cs1 = ConstraintSystem(pp.field1, check=check,
                                witness_only=not check)
         z_next_nums, pc_next_num = synthesize_sn_primary(
