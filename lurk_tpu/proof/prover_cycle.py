@@ -142,12 +142,15 @@ class CycleNovaProver:
                 yield None
             return
         global _STEP_WITNESS_ARGS
-        _STEP_WITNESS_ARGS = (pp.cfg1.step_fn, pp.field1, store)
+        # workers inherit everything via fork (copy-on-write): jobs are
+        # bare indices and results are byte-packed aux segments — bigint
+        # / frame-graph pickling was 10x the actual witness time.
+        _STEP_WITNESS_ARGS = (pp.cfg1.step_fn, pp.field1, store, mframes)
         n_proc = min(len(mframes), max(1, (ctx.cpu_count() or 2) - 1))
         with ctx.Pool(n_proc) as pool:
-            yield from pool.imap(
-                _step_witness_worker,
-                [(mf.z_in, mf.frames) for mf in mframes])
+            for packed, outs in pool.imap(_step_witness_worker,
+                                          range(len(mframes))):
+                yield (_unpack_aux(packed), outs)
 
     @staticmethod
     def verify(pp: CyclePublicParams, proof: CycleProof) -> bool:
@@ -157,16 +160,25 @@ class CycleNovaProver:
 _STEP_WITNESS_ARGS: Optional[tuple] = None
 
 
-def _step_witness_worker(args):
-    z_in, frames = args
-    step_fn, field, store = _STEP_WITNESS_ARGS
+def _pack_aux(values) -> bytes:
+    return b"".join(v.to_bytes(32, "little") for v in values)
+
+
+def _unpack_aux(packed: bytes):
+    return [int.from_bytes(packed[i:i + 32], "little")
+            for i in range(0, len(packed), 32)]
+
+
+def _step_witness_worker(k: int):
+    step_fn, field, store, mframes = _STEP_WITNESS_ARGS
+    mf = mframes[k]
     from ..r1cs.cs import ConstraintSystem
     from ..r1cs.gadgets import alloc_num
     cs = ConstraintSystem(field, witness_only=True)
-    zi = [alloc_num(cs, v) for v in z_in]
+    zi = [alloc_num(cs, v) for v in mf.z_in]
     n0 = len(cs.aux)
-    outs = step_fn(cs, zi, (frames, store))
-    return cs.aux[n0:], [o.value for o in outs]
+    outs = step_fn(cs, zi, (mf.frames, store))
+    return _pack_aux(cs.aux[n0:]), [o.value for o in outs]
 
 
 # ---------------------------------------------------------------------------

@@ -151,16 +151,13 @@ class SuperNovaCycleProver:
                 yield None
             return
         global _SN_STEP_WITNESS_ARGS
-        _SN_STEP_WITNESS_ARGS = (pp, store)
-        jobs = []
-        for k, chunk in enumerate(padded):
-            next_pc = padded[k + 1][0].pc if k + 1 < len(padded) else 0
-            jobs.append((chunk[0].pc,
-                         io_scalars(store, chunk[0].input),
-                         chunk, next_pc))
+        _SN_STEP_WITNESS_ARGS = (pp, store, padded)
         n_proc = min(len(padded), max(1, (ctx.cpu_count() or 2) - 1))
+        from .prover_cycle import _unpack_aux
         with ctx.Pool(n_proc) as pool:
-            yield from pool.imap(_sn_step_witness_worker, jobs)
+            for packed, outs, pc_next in pool.imap(
+                    _sn_step_witness_worker, range(len(padded))):
+                yield (_unpack_aux(packed), outs, pc_next)
 
     @staticmethod
     def verify(pp: SnCyclePublicParams, proof: SnCycleProof) -> bool:
@@ -247,14 +244,18 @@ def verify_compressed_sn_cycle(pp: SnCyclePublicParams,
 _SN_STEP_WITNESS_ARGS = None
 
 
-def _sn_step_witness_worker(args):
-    pc, z_in, chunk, next_pc = args
-    pp, store = _SN_STEP_WITNESS_ARGS
+def _sn_step_witness_worker(k: int):
+    pp, store, padded = _SN_STEP_WITNESS_ARGS
+    chunk = padded[k]
+    pc = chunk[0].pc
+    next_pc = padded[k + 1][0].pc if k + 1 < len(padded) else 0
     from ..r1cs.cs import ConstraintSystem
     from ..r1cs.gadgets import alloc_num
+    from .prover_cycle import _pack_aux
     cs = ConstraintSystem(pp.field1, witness_only=True)
-    zi = [alloc_num(cs, v) for v in z_in]
+    zi = [alloc_num(cs, v) for v in io_scalars(store, chunk[0].input)]
     n0 = len(cs.aux)
     z_next, pc_next = pp.cfg1s[pc].step_fn(cs, zi,
                                            (chunk, next_pc, store))
-    return (cs.aux[n0:], [o.value for o in z_next], pc_next.value)
+    return (_pack_aux(cs.aux[n0:]), [o.value for o in z_next],
+            pc_next.value)
