@@ -9,6 +9,8 @@ the device-batched witness/MSM pipeline is the next optimization layer.
 
 from __future__ import annotations
 
+from ..utils.tracing import instrument as _trace_instrument
+
 import dataclasses
 from typing import Dict, List, Optional, Tuple
 
@@ -61,6 +63,7 @@ class NovaProver:
         pp, proof = self.prove_from_frames(store, frames)
         return pp, proof, frames
 
+    @_trace_instrument("nova_fold.prove_from_frames")
     def prove_from_frames(self, store: Store, frames: List[Frame]
                           ) -> Tuple[PublicParams, FoldingProof]:
         assert frames

@@ -10,6 +10,8 @@ augmented MultiFrame StepCircuit, /root/reference/src/proof/nova.rs:
 
 from __future__ import annotations
 
+from ..utils.tracing import instrument as _trace_instrument
+
 import dataclasses
 from typing import Dict, List, Optional, Tuple
 
@@ -106,6 +108,7 @@ class CycleNovaProver:
         pp, proof = self.prove_from_frames(store, frames)
         return pp, proof, frames
 
+    @_trace_instrument("nova_cycle.prove_from_frames")
     def prove_from_frames(self, store: Store, frames: List[Frame]
                           ) -> Tuple[CyclePublicParams, CycleProof]:
         assert frames

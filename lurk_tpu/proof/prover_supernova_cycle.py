@@ -10,6 +10,8 @@ dual-chain folding (proof/supernova_cycle.py). Reference functionality:
 
 from __future__ import annotations
 
+from ..utils.tracing import instrument as _trace_instrument
+
 import dataclasses
 from typing import Dict, List, Optional, Tuple
 
@@ -107,6 +109,7 @@ class SuperNovaCycleProver:
         pp, proof = self.prove_from_frames(store, frames)
         return pp, proof, frames
 
+    @_trace_instrument("supernova_cycle.prove_from_frames")
     def prove_from_frames(self, store: Store, frames: List[Frame]
                           ) -> Tuple[SnCyclePublicParams, SnCycleProof]:
         assert frames

@@ -13,6 +13,8 @@ singleton MultiFrames proven against their own circuit.
 
 from __future__ import annotations
 
+from ..utils.tracing import instrument as _trace_instrument
+
 import dataclasses
 from typing import Dict, List, Optional, Tuple
 
@@ -122,6 +124,7 @@ class SuperNovaProver:
     def _step_func(self, pc: int) -> ir.Func:
         return self.lurk_step if pc == 0 else self.cprocs[pc - 1]
 
+    @_trace_instrument("supernova.prove_from_frames")
     def prove_from_frames(self, store: Store, frames: List[Frame]
                           ) -> Tuple[SuperNovaPublicParams, NivcProof]:
         assert frames

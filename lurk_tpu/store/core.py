@@ -13,6 +13,8 @@ hashing during interpretation (pointers.rs:189-197 "delay ZPtrs").
 
 from __future__ import annotations
 
+from ..utils.tracing import instrument as _trace_instrument
+
 from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 from ..fields import FieldSpec
@@ -239,6 +241,7 @@ class Store:
     def hash_ptr(self, ptr: Ptr) -> ZPtr:
         return ZPtr(ptr.tag, self.hash_ptr_val(ptr.val))
 
+    @_trace_instrument("store.hydrate_z_cache")
     def hydrate_z_cache(self) -> None:
         """Batched hydration: levelize the dehydrated queue by DAG depth and
         hash each (level, arity) wave as one device batch."""
