@@ -27,8 +27,8 @@ def _to_limbs(v: int) -> List[int]:
 
 
 def _pack_scalars(scalars: Sequence[int], order: int) -> np.ndarray:
-    buf = b"".join((s % order).to_bytes(32, "little") for s in scalars)
-    return np.frombuffer(buf, dtype=np.uint64).reshape(len(scalars), 4)
+    from .r1cs import _pack_vec
+    return _pack_vec(scalars, order).reshape(len(scalars), 4)
 
 
 def pack_points(points: Sequence[Affine]) -> np.ndarray:

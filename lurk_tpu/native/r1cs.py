@@ -28,14 +28,24 @@ def _limbs(v: int) -> bytes:
 
 
 def _pack_vec(vec: Sequence[int], p: int) -> np.ndarray:
-    buf = b"".join((v % p).to_bytes(32, "little") for v in vec)
-    return np.frombuffer(buf, dtype=np.uint64)
+    from .fastpack import pack_ints
+    try:
+        buf = pack_ints(vec)
+        arr = np.frombuffer(buf, dtype=np.uint64)
+        # canonicality guard: values whose top limb stays strictly
+        # below p's are < p; a hit on the boundary bucket (or an
+        # out-of-range element above) falls back to an explicit mod.
+        if arr.size and int(arr[3::4].max()) >= (p >> 192):
+            raise OverflowError
+        return arr
+    except (OverflowError, ValueError, TypeError):
+        buf = pack_ints([int(v) % p for v in vec])
+        return np.frombuffer(buf, dtype=np.uint64)
 
 
 def _unpack_vec(arr: np.ndarray, n: int) -> List[int]:
-    by = arr.tobytes()
-    return [int.from_bytes(by[32 * i:32 * (i + 1)], "little")
-            for i in range(n)]
+    from .fastpack import unpack_ints
+    return unpack_ints(arr.tobytes()[:32 * n])
 
 
 def _u64p(a: np.ndarray):
@@ -43,6 +53,7 @@ def _u64p(a: np.ndarray):
 
 
 def _csr(rows, which: int, p: int):
+    from .fastpack import pack_ints
     indptr = [0]
     idx: List[int] = []
     coefs: List[int] = []
@@ -54,8 +65,7 @@ def _csr(rows, which: int, p: int):
         indptr.append(len(idx))
     return (np.asarray(indptr, dtype=np.uint64),
             np.asarray(idx, dtype=np.uint64),
-            np.frombuffer(b"".join(_limbs(c) for c in coefs),
-                          dtype=np.uint64))
+            np.frombuffer(pack_ints(coefs), dtype=np.uint64))
 
 
 def handle_for(shape) -> int:
@@ -75,8 +85,12 @@ def handle_for(shape) -> int:
             ctypes.c_uint64(shape.num_constraints),
             ctypes.c_uint64(n_vars)]
     keep = []
+    pre = getattr(shape, "csr", None)
     for which in range(3):
-        indptr, idx, coef = _csr(shape.rows, which, p)
+        if pre is not None:
+            indptr, idx, coef = pre[which]
+        else:
+            indptr, idx, coef = _csr(shape.rows, which, p)
         keep.extend((indptr, idx, coef))
         args.extend((_u64p(indptr), _u64p(idx), _u64p(coef)))
     h = lib.lurk_r1cs_shape(*args)

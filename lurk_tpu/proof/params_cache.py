@@ -110,18 +110,19 @@ def save_shape(key: str, shape) -> None:
     import io
     m = shape.num_constraints
     arrays = {}
+    from ..native.fastpack import pack_ints
     for name, which in (("a", 0), ("b", 1), ("c", 2)):
         indptr = [0]
         idx = []
-        coefs = bytearray()
+        coefs = []
         for row in shape.rows:
             for v, c in sorted(row[which].items()):
                 idx.append(v)
-                coefs += int(c % shape.p).to_bytes(32, "little")
+                coefs.append(int(c % shape.p))
             indptr.append(len(idx))
         arrays[f"{name}_indptr"] = np.asarray(indptr, dtype=np.int64)
         arrays[f"{name}_idx"] = np.asarray(idx, dtype=np.int64)
-        arrays[f"{name}_coef"] = np.frombuffer(bytes(coefs),
+        arrays[f"{name}_coef"] = np.frombuffer(pack_ints(coefs),
                                                dtype=np.uint8)
     arrays["meta"] = np.asarray(
         [shape.num_inputs, shape.num_aux, m], dtype=np.int64)
@@ -141,17 +142,26 @@ def load_shape(key: str, field):
         z = np.load(path)
     except OSError:
         return None
+    from ..native.fastpack import unpack_ints
     num_inputs, num_aux, m = (int(v) for v in z["meta"])
     rows = [({}, {}, {}) for _ in range(m)]
+    csr = {}
     for name, which in (("a", 0), ("b", 1), ("c", 2)):
         indptr = z[f"{name}_indptr"]
         idx = z[f"{name}_idx"]
-        coef = z[f"{name}_coef"].tobytes()
+        coef_bytes = z[f"{name}_coef"].tobytes()
+        # native CSR arrays, reused directly by native.r1cs.handle_for
+        # (skips the 70s python re-conversion at registration)
+        csr[which] = (indptr.astype(np.uint64),
+                      idx.astype(np.uint64),
+                      np.frombuffer(coef_bytes, dtype=np.uint64))
+        coefs = unpack_ints(coef_bytes)
+        idx_l = idx.tolist()
+        ip = indptr.tolist()
         for r in range(m):
             lc = rows[r][which]
-            for j in range(int(indptr[r]), int(indptr[r + 1])):
-                lc[int(idx[j])] = int.from_bytes(
-                    coef[32 * j:32 * (j + 1)], "little")
+            for j in range(ip[r], ip[r + 1]):
+                lc[idx_l[j]] = coefs[j]
     shape = R1CSShape.__new__(R1CSShape)
     shape.p = field.modulus
     shape.field = field
@@ -159,4 +169,5 @@ def load_shape(key: str, field):
     shape.num_aux = num_aux
     shape.rows = rows
     shape.digest = z["digest"].tobytes().decode()
+    shape.csr = csr
     return shape

@@ -164,12 +164,13 @@ _STEP_WITNESS_ARGS: Optional[tuple] = None
 
 
 def _pack_aux(values) -> bytes:
-    return b"".join(v.to_bytes(32, "little") for v in values)
+    from ..native.fastpack import pack_ints
+    return pack_ints(values)
 
 
 def _unpack_aux(packed: bytes):
-    return [int.from_bytes(packed[i:i + 32], "little")
-            for i in range(0, len(packed), 32)]
+    from ..native.fastpack import unpack_ints
+    return unpack_ints(packed)
 
 
 def _step_witness_worker(k: int):
