@@ -160,6 +160,34 @@ void lurk_r1cs_cross_term(long h, const u64* z1_limbs,
     });
 }
 
+// out = a + r*b (mod p), elementwise over n packed field elements —
+// the fold's random linear combination of witness/error vectors.
+void lurk_vec_rlc(const u64* mod_limbs, const u64* r2_limbs,
+                  const u64* a_limbs, const u64* b_limbs,
+                  const u64* r_limbs, u64 n, int n_threads,
+                  u64* out_limbs) {
+    Field f;
+    f.init(mod_limbs, r2_limbs);
+    Fe r2;
+    std::memcpy(r2.v, f.r2, 32);
+    Fe rm;
+    {
+        Fe r;
+        std::memcpy(r.v, r_limbs, 32);
+        fe_mul(f, rm, r, r2);            // r in Montgomery form
+    }
+    const Fe* a = (const Fe*)a_limbs;
+    const Fe* b = (const Fe*)b_limbs;
+    Fe* out = (Fe*)out_limbs;
+    parallel_rows(n, n_threads, [&](size_t lo, size_t hi) {
+        Fe t;
+        for (size_t i = lo; i < hi; i++) {
+            fe_mul(f, t, rm, b[i]);      // r*b canonical (REDC(rR * b))
+            fe_add(f, out[i], a[i], t);
+        }
+    });
+}
+
 // returns number of unsatisfied rows for Az.Bz = u*Cz + E
 u64 lurk_r1cs_check_relaxed(long h, const u64* z_limbs,
                             const u64* u_limbs, const u64* e_limbs,

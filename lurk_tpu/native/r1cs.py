@@ -145,3 +145,21 @@ def check_relaxed(shape, z: Sequence[int], u: int, e: Sequence[int]
                                       _u64p(up), _u64p(ep),
                                       ctypes.c_int(_threads()))
     return bad == 0
+
+
+def vec_rlc(p: int, a: Sequence[int], b: Sequence[int], r: int
+            ) -> List[int]:
+    """a + r*b mod p elementwise (the fold's witness/error RLC)."""
+    lib = load("r1cs")
+    n = len(a)
+    assert len(b) == n
+    mod = np.frombuffer(_limbs(p), dtype=np.uint64)
+    r2 = np.frombuffer(_limbs((_R * _R) % p), dtype=np.uint64)
+    ap = _pack_vec(a, p)
+    bp = _pack_vec(b, p)
+    rp = np.frombuffer(_limbs(r % p), dtype=np.uint64)
+    out = np.zeros(4 * n, dtype=np.uint64)
+    lib.lurk_vec_rlc(_u64p(mod), _u64p(r2), _u64p(ap), _u64p(bp),
+                     _u64p(rp), ctypes.c_uint64(n),
+                     ctypes.c_int(_threads()), _u64p(out))
+    return _unpack_vec(out, n)

@@ -230,6 +230,11 @@ def fold_instance(curve: Curve, acc: RelaxedInstance, new: R1CSInstance,
 
 def fold_witness(p: int, acc: RelaxedWitness, w2: Sequence[int],
                  t: Sequence[int], r: int) -> RelaxedWitness:
+    from ..native import r1cs as nr1cs
+    if nr1cs.available() and len(acc.w) >= 1024:
+        w = nr1cs.vec_rlc(p, acc.w, w2, r)
+        e = nr1cs.vec_rlc(p, acc.e, t, r)
+        return RelaxedWitness(w, e)
     w = [(a + r * b) % p for a, b in zip(acc.w, w2)]
     e = [(a + r * b) % p for a, b in zip(acc.e, t)]
     return RelaxedWitness(w, e)
