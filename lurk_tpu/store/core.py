@@ -287,8 +287,15 @@ class Store:
             if npos.available():
                 return npos.hash_batch(self.field, arity, pres)
             return [self.poseidon.hash(p) for p in pres]
-        from ..poseidon.kernel import hash_batch_padded
-        return hash_batch_padded(self.field, arity, pres)
+        try:
+            # 5th-gen carry-free int8 kernel (pallas_nib): ~2x the
+            # XLA-kernel throughput on v5e; digest parity pinned by
+            # tests/test_pallas_nib.py. Falls back on Mosaic regressions.
+            from ..poseidon.pallas_nib import hash_batch_pallas_nib
+            return hash_batch_pallas_nib(self.field, arity, pres)
+        except Exception:
+            from ..poseidon.kernel import hash_batch_padded
+            return hash_batch_padded(self.field, arity, pres)
 
     # ------------------------------------------------------------------
     # commitments

@@ -125,3 +125,47 @@ def test_native_pedersen_generators_bit_exact():
         assert nat_off == py_off == py[37:40], curve.name
         for x, y in nat:
             assert (y * y - (x ** 3 + curve.b)) % curve.p == 0
+
+
+def test_fastpack_roundtrip_and_fallback():
+    from lurk_tpu.native import fastpack as fp
+
+    cases = [0, 1, (1 << 256) - 1, 0xDEADBEEF << 200, 7]
+    assert fp.unpack_ints(fp.pack_ints(cases)) == cases
+    import pytest
+    with pytest.raises(OverflowError):
+        fp.pack_ints([-1])
+    with pytest.raises(OverflowError):
+        fp.pack_ints([1 << 256])
+
+
+def test_native_vec_rlc_bit_exact():
+    import random
+
+    from lurk_tpu.fields import BN256_SCALAR as F
+    from lurk_tpu.native import r1cs as nr
+
+    if not nr.available():
+        import pytest
+        pytest.skip("no native toolchain")
+    r = random.Random(9)
+    p = F.modulus
+    n = 2048
+    a = [r.randrange(p) for _ in range(n)]
+    b = [r.randrange(p) for _ in range(n)]
+    rr = r.randrange(p)
+    assert nr.vec_rlc(p, a, b, rr) == [(x + rr * y) % p
+                                       for x, y in zip(a, b)]
+
+
+def test_pack_vec_canonicality_guard():
+    """values >= p (boundary bucket) must take the explicit-mod path."""
+    import numpy as np
+
+    from lurk_tpu.fields import BN256_SCALAR as F
+    from lurk_tpu.native.r1cs import _pack_vec, _unpack_vec
+
+    p = F.modulus
+    vec = [p + 5, 3, p - 1, 2 * p + 7]
+    arr = _pack_vec(vec, p)
+    assert _unpack_vec(arr, len(vec)) == [v % p for v in vec]

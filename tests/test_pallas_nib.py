@@ -41,7 +41,7 @@ def _cases(arity, n):
     return pres
 
 
-@pytest.mark.parametrize("arity", [3, 4])
+@pytest.mark.parametrize("arity", [3, 4, 6, 8])
 def test_pallas_nib_parity(arity):
     pres = _cases(arity, 6)
     x = _pack(pres, arity, 8)
@@ -57,3 +57,15 @@ def test_pallas_nib_opt_parity():
     h = jax.jit(PN.build_pallas_nib_opt_hasher(F, arity, 8))
     got = _unpack(np.asarray(h(x)), len(pres))
     assert got == [hash_preimage(F, p) for p in pres]
+
+
+def test_pallas_nib_bn256():
+    """Hydration also hashes over bn256 (default CLI field)."""
+    from lurk_tpu.fields import BN256_SCALAR
+    from lurk_tpu.poseidon.pallas_nib import hash_batch_pallas_nib
+    import random
+    r = random.Random(99)
+    pres = [tuple(r.randrange(BN256_SCALAR.modulus) for _ in range(4))
+            for _ in range(3)]
+    got = hash_batch_pallas_nib(BN256_SCALAR, 4, pres, tile=4)
+    assert got == [hash_preimage(BN256_SCALAR, p) for p in pres]
