@@ -98,9 +98,59 @@ static void jac_add(const Field& f, Jac& out, const Jac& a,
     fe_mul(f, out.z, t, h);                 // Z3 = ((Z1+Z2)^2-Z1Z1-Z2Z2)H
 }
 
+// madd-2007-bl mixed addition: b is affine (Z2 = 1, Montgomery coords);
+// 8M rather than jac_add's 12M — the bucket-accumulation hot path.
+static void jac_add_mixed(const Field& f, Jac& out, const Jac& a,
+                          const Fe& bx, const Fe& by, const Fe& one_m) {
+    if (jac_is_inf(a)) {
+        out.x = bx;
+        out.y = by;
+        out.z = one_m;
+        return;
+    }
+    Fe z1z1, u2, s2, t;
+    fe_mul(f, z1z1, a.z, a.z);
+    fe_mul(f, u2, bx, z1z1);
+    fe_mul(f, t, by, a.z);
+    fe_mul(f, s2, t, z1z1);
+    if (fe_eq(a.x, u2)) {
+        if (!fe_eq(a.y, s2)) {
+            std::memset(&out, 0, sizeof(out));   // infinity
+            return;
+        }
+        jac_double(f, out, a);
+        return;
+    }
+    Fe h, hh, i, j, r, v;
+    fe_sub(f, h, u2, a.x);                  // H = U2 - X1
+    fe_mul(f, hh, h, h);                    // HH = H^2
+    fe_dbl(f, i, hh);
+    fe_dbl(f, i, i);                        // I = 4 HH
+    fe_mul(f, j, h, i);                     // J = H*I
+    fe_sub(f, r, s2, a.y);
+    fe_dbl(f, r, r);                        // r = 2(S2 - Y1)
+    fe_mul(f, v, a.x, i);                   // V = X1*I
+    Fe rr, t2;
+    fe_mul(f, rr, r, r);
+    fe_sub(f, rr, rr, j);
+    fe_sub(f, rr, rr, v);
+    fe_sub(f, out.x, rr, v);                // X3 = r^2 - J - 2V
+    fe_sub(f, t, v, out.x);
+    fe_mul(f, t, r, t);
+    fe_mul(f, t2, a.y, j);
+    fe_dbl(f, t2, t2);
+    fe_sub(f, out.y, t, t2);                // Y3 = r(V-X3) - 2 Y1 J
+    fe_add(f, t, a.z, h);
+    fe_mul(f, t, t, t);
+    fe_sub(f, t, t, z1z1);
+    fe_sub(f, t, t, hh);
+    out.z = t;                              // Z3 = (Z1+H)^2 - Z1Z1 - HH
+}
+
 struct WindowJob {
     const Field* f;
-    const Jac* pts;        // Montgomery-form Jacobian points
+    const Jac* pts;        // Montgomery-form affine points (Z = mont 1)
+    const Fe* one_m;
     const u64* scalars;    // n * 4 limbs, canonical
     size_t n;
     int c;
@@ -124,7 +174,12 @@ static void run_window(WindowJob* job) {
         u64 d = s[limb] >> off;
         if (off + c > 64 && limb < 3) d |= s[limb + 1] << (64 - off);
         d &= mask;
-        if (d) jac_add(f, buckets[d - 1], buckets[d - 1], job->pts[i]);
+        if (d) {
+            const Jac& p = job->pts[i];
+            if (!jac_is_inf(p))
+                jac_add_mixed(f, buckets[d - 1], buckets[d - 1],
+                              p.x, p.y, *job->one_m);
+        }
     }
     Jac run, total;
     std::memset(&run, 0, sizeof(run));
@@ -174,7 +229,8 @@ void lurk_msm(const u64* mod_limbs, const u64* r2_limbs,
     int n_windows = (scalar_bits + c - 1) / c;
     std::vector<WindowJob> jobs(n_windows);
     for (int w = 0; w < n_windows; w++) {
-        jobs[w] = WindowJob{&f, pts.data(), scalars, n, c, w, {}};
+        jobs[w] = WindowJob{&f, pts.data(), &one_m, scalars, n, c, w,
+                            {}};
     }
     if (n_threads <= 1) {
         for (int w = 0; w < n_windows; w++) run_window(&jobs[w]);
