@@ -2,8 +2,8 @@
 (vdf.lurk ~67k iterations proved; bank.lurk), including their hard-coded
 !(verify) proof keys. ~4-10 min each on CPU, so gated behind
 LURK_TPU_SLOW_DEMOS=1 (the fast claim-key parity lives in
-test_demo_parity.py). Verified green in round 3: vdf 256s, bank see
-commit message."""
+test_demo_parity.py). Verified green in round 3: vdf 256s, bank 679s
+(4-core host, supernova backend, rc=10)."""
 
 import os
 import pathlib
