@@ -104,3 +104,27 @@ def test_circom_circuit_satisfied(square_gadget):
 def test_bad_reference_rejected(tmp_path):
     with pytest.raises(ValueError):
         cc.create_circom_gadget(tmp_path, "noslash")
+
+
+def test_circom_coprocessor_nivc_prove(square_gadget):
+    """Full SuperNova NIVC prove with the circom gadget as a coprocessor
+    (the reference's examples/keccak.rs pipeline, offline): evaluate
+    dispatches pc!=0 chunks to the circom circuit, prove + verify."""
+    from lurk_tpu.lem.evaluation import Lang
+    from lurk_tpu.proof import supernova as sn
+    from lurk_tpu.proof.supernova import SuperNovaProver
+    from lurk_tpu.store.core import Store
+    from lurk_tpu.symbol import user_sym
+
+    store = Store(VESTA_SCALAR)
+    lang = Lang()
+    sym = user_sym("circom_square")
+    lang.add_coprocessor(sym, cc.circom_coprocessor(square_gadget))
+    expr = store.list([store.intern_symbol(sym), store.num(7)])
+    prover = SuperNovaProver(rc=2, lang=lang)
+    pp, proof, frames = prover.evaluate_and_prove(store, expr)
+    assert sn.verify(pp, proof)
+    # the coprocessor's output (7^2) is the proven evaluation result
+    assert store.fetch_num(frames[-1].output[0]) == 49
+    pcs = {pc for pc, _, _ in proof.steps}
+    assert len(pcs) > 1, "coprocessor circuit index never dispatched"
