@@ -1,0 +1,81 @@
+"""Field-ordering comparison semantics — the reference's full
+test_relational matrix (eval_tests.rs:2360-2493) plus the u64
+relational edge cases (:2996-3060). Field elements are 'negative' when
+they exceed most_positive (field.rs most_positive/most_negative); every
+comparison evaluates in exactly 3 iterations."""
+
+import pytest
+
+from lurk_tpu.fields import BN256_SCALAR
+from lurk_tpu.store.core import Store
+from lurk_tpu.tags import ContTag
+from tests.test_eval import check
+
+P = BN256_SCALAR.modulus
+MOST_POSITIVE = BN256_SCALAR.most_positive
+MOST_NEGATIVE = BN256_SCALAR.most_negative
+NEG_ONE = P - 1
+
+TERMINAL = ContTag.Terminal
+
+
+@pytest.fixture(scope="module")
+def store():
+    return Store(BN256_SCALAR)
+
+
+def lit(v) -> str:
+    return hex(v) if isinstance(v, int) else v
+
+
+# (a, b, lt, gt, lte, gte) — one row per reference relational_aux group
+MATRIX = [
+    ("1", "2", True, False, True, False),
+    ("2", "1", False, True, False, True),
+    ("1", "1", False, False, True, True),
+    ("0", "2", True, False, True, False),
+    ("2", "0", False, True, False, True),
+    ("0", "0", False, False, True, True),
+    (MOST_NEGATIVE, "0", True, False, True, False),
+    ("0", MOST_NEGATIVE, False, True, False, True),
+    (MOST_NEGATIVE, MOST_POSITIVE, True, False, True, False),
+    (MOST_POSITIVE, MOST_NEGATIVE, False, True, False, True),
+    (MOST_NEGATIVE, MOST_NEGATIVE, False, False, True, True),
+    ("1", MOST_POSITIVE, True, False, True, False),
+    (MOST_POSITIVE, "1", False, True, False, True),
+    ("1", MOST_NEGATIVE, False, True, False, True),
+    (MOST_NEGATIVE, "1", True, False, True, False),
+    (NEG_ONE, MOST_POSITIVE, True, False, True, False),
+    (MOST_POSITIVE, NEG_ONE, False, True, False, True),
+    (NEG_ONE, MOST_NEGATIVE, False, True, False, True),
+    (MOST_NEGATIVE, NEG_ONE, True, False, True, False),
+]
+
+
+@pytest.mark.parametrize("row", MATRIX,
+                         ids=[f"{i}" for i in range(len(MATRIX))])
+def test_relational_matrix(store, row):
+    a, b, lt, gt, lte, gte = row
+    for op, res in (("<", lt), (">", gt), ("<=", lte), (">=", gte)):
+        expr = f"({op} {lit(a)} {lit(b)})"
+        check(store, expr, "t" if res else "nil", TERMINAL, 3)
+
+
+def test_u64_relational_edge_cases(store):
+    """eval_tests.rs test_relational_edge_case_identity / test_u64_comp."""
+    cases = [
+        ("(< 0u64 1u64)", True), ("(< 1u64 0u64)", False),
+        ("(<= 0u64 1u64)", True), ("(<= 1u64 0u64)", False),
+        ("(> 0u64 1u64)", False), ("(> 1u64 0u64)", True),
+        ("(>= 0u64 1u64)", False), ("(>= 1u64 0u64)", True),
+        ("(<= 0u64 0u64)", True), ("(>= 0u64 0u64)", True),
+        ("(= 0u64 0u64)", True), ("(= 0u64 1u64)", False),
+    ]
+    for expr, res in cases:
+        check(store, expr, "t" if res else "nil", TERMINAL, 3)
+
+
+def test_u64_div_mod_by_zero_errors(store):
+    """eval_tests.rs test_u64_div/mod zero divisors error."""
+    check(store, "(/ 1u64 0u64)", None, ContTag.Error, 3)
+    check(store, "(% 1u64 0u64)", None, ContTag.Error, 3)
