@@ -79,3 +79,20 @@ def test_u64_div_mod_by_zero_errors(store):
     """eval_tests.rs test_u64_div/mod zero divisors error."""
     check(store, "(/ 1u64 0u64)", None, ContTag.Error, 3)
     check(store, "(% 1u64 0u64)", None, ContTag.Error, 3)
+
+
+def test_u64_num_conversion_semantics(store):
+    """eval_tests.rs test_u64_conversion / _num_comparison / _num_cons /
+    _hide_u64_secret: u64<->num coercions, mixed =, mixed cons."""
+    check(store, "(+ 0 1u64)", "1", TERMINAL, 3)
+    check(store, "(num 1u64)", "1", TERMINAL, 2)
+    check(store, "(+ 1 1u64)", "2", TERMINAL, 3)
+    check(store, "(u64 (+ 1 1))", "2u64", TERMINAL, 5)
+    check(store, "(u64 123u64)", "123u64", TERMINAL, 2)
+    check(store, "(u64)", None, ContTag.Error, 1)
+    check(store, "(u64 1 1)", None, ContTag.Error, 1)
+    check(store, "(= 1 1u64)", "t", TERMINAL, 3)
+    check(store, "(= 1 2u64)", "nil", TERMINAL, 3)
+    check(store, "(cons 1 1u64)", "(1 . 1u64)", TERMINAL, 3)
+    check(store, "(cons 1u64 1)", "(1u64 . 1)", TERMINAL, 3)
+    check(store, "(hide 0u64 123)", None, ContTag.Error, 3)
