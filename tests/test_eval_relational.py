@@ -96,3 +96,20 @@ def test_u64_num_conversion_semantics(store):
     check(store, "(cons 1 1u64)", "(1 . 1u64)", TERMINAL, 3)
     check(store, "(cons 1u64 1)", "(1u64 . 1)", TERMINAL, 3)
     check(store, "(hide 0u64 123)", None, ContTag.Error, 3)
+
+
+def test_num_syntax_implications(store):
+    """eval_tests.rs:2543-2600 — rational literals are field division."""
+    check(store, "(= (* 6 3/2) 9)", "t", TERMINAL, 6)
+    check(store, "(= (* 2/3 3/2) 1)", "t", TERMINAL, 6)
+    check(store, "(= (* -2/3 3/2) -1)", "t", TERMINAL, 6)
+    check(store,
+          "(let ((most-positive -1/2) (most-negative 1/2))"
+          " (< most-negative most-positive))", "t", TERMINAL, 7)
+
+
+def test_keyword(store):
+    """eval_tests.rs:3345 — keywords self-evaluate, distinct from syms."""
+    check(store, ":asdf", ":asdf", TERMINAL, 1)
+    check(store, "(eq :asdf :asdf)", "t", TERMINAL, 3)
+    check(store, "(eq :asdf 'asdf)", "nil", TERMINAL, 3)
