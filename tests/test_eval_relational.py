@@ -113,3 +113,23 @@ def test_keyword(store):
     check(store, ":asdf", ":asdf", TERMINAL, 1)
     check(store, "(eq :asdf :asdf)", "t", TERMINAL, 3)
     check(store, "(eq :asdf 'asdf)", "nil", TERMINAL, 3)
+
+
+def test_eval_op_semantics(store):
+    """eval_tests.rs:2678-2760 — the eval special form (1- and 2-arg)."""
+    check(store, "(* 3 (eval (cons '+ (cons 1 (cons 2 nil)))))", "9",
+          TERMINAL, 17)
+    check(store, "(* 5 (eval '(+ 1 a) (let ((a 3)) (current-env))))",
+          "20", TERMINAL, 11)
+    check(store, "(let ((a 1)) (eval 'a))", None, ContTag.Error, 5)
+    check(store, "(let ((a 1)) (eval 'a (current-env)))", "1",
+          TERMINAL, 6)
+
+
+def test_eval_bad_form(store):
+    """eval_tests.rs:3492-3560 — malformed envs and dotted applications
+    error at the reference's exact iteration counts."""
+    check(store, "(* 5 (eval '(+ 1 a) '((0 . 3))))", None,
+          ContTag.Error, 5)
+    check(store, "(let ((a (lambda (x) (+ x 1)))) (a . 1))", None,
+          ContTag.Error, 3)
