@@ -44,6 +44,13 @@ def pack_points(points: Sequence[Affine]) -> np.ndarray:
 def _default_c(n: int) -> int:
     if n < 32:
         return 3
+    if int(os.environ.get("LURK_MSM_ALGO", "1")) == 1:
+        # batch-affine accumulation is ~2x cheaper per point than the
+        # serial mixed adds, which shifts the optimal window down:
+        # bucket reduction (2*2^c Jacobian adds/window) caps c sooner.
+        # Measured on this host (scripts/bench_msm_ab.py): best c =
+        # 11/13/15 at 2^16/2^18/2^20.
+        return min(16, max(4, int(math.log2(n)) - 5))
     return min(16, max(4, int(math.log2(n)) - 2))
 
 
@@ -73,11 +80,15 @@ def msm_packed(curve: Curve, scalars: Sequence[int], packed: np.ndarray,
     scs = _pack_scalars(scalars, curve.order)
     out = np.zeros(12, dtype=np.uint64)
     u64p = ctypes.POINTER(ctypes.c_uint64)
-    lib.lurk_msm(
+    # 1 = batch-affine bucket accumulation (default); 0 = sequential
+    # mixed adds (A/B baseline, LURK_MSM_ALGO=0)
+    algo = int(os.environ.get("LURK_MSM_ALGO", "1"))
+    lib.lurk_msm_ex(
         mod.ctypes.data_as(u64p), r2.ctypes.data_as(u64p),
         pts.ctypes.data_as(u64p), scs.ctypes.data_as(u64p),
         ctypes.c_size_t(n), ctypes.c_int(c), ctypes.c_int(n_threads),
-        ctypes.c_int(curve.scalar.num_bits), out.ctypes.data_as(u64p))
+        ctypes.c_int(curve.scalar.num_bits), ctypes.c_int(algo),
+        out.ctypes.data_as(u64p))
 
     def un(limbs) -> int:
         return sum(int(v) << (64 * i) for i, v in enumerate(limbs))

@@ -58,6 +58,29 @@ def test_native_msm_empty_and_zero():
     assert nmsm.msm(PALLAS, [0, 0], [g, g], c=4) is None
 
 
+def test_native_msm_batch_affine_special_pairs():
+    """Exercise the batch-affine reduction's annihilation (P + (-P))
+    and doubling (P + P) branches: equal/opposite points landing in the
+    same bucket, including whole buckets that vanish."""
+    g = PALLAS.generator
+    neg = (g[0], PALLAS.p - g[1])
+    g2 = PALLAS.add(g, g)
+    # bucket 1 of window 0 gets [P, -P] -> empty bucket
+    assert nmsm.msm(PALLAS, [1, 1], [g, neg], c=4) is None
+    # [P, -P, P] -> survivor P
+    assert nmsm.msm(PALLAS, [1, 1, 1], [g, neg, g], c=4) == g
+    # [P, P, P, P] -> two doublings -> 4P
+    want4 = PALLAS.add(g2, g2)
+    assert nmsm.msm(PALLAS, [1] * 4, [g] * 4, c=4) == want4
+    # mixed digits + doubling + annihilation across buckets
+    scalars = [3, 3, 5, 5, 7, 7, 2]
+    pts = [g, g, g, neg, g2, g2, g2]
+    want = None
+    for s, pt in zip(scalars, pts):
+        want = PALLAS.add(want, PALLAS.mul(s, pt))
+    assert nmsm.msm(PALLAS, scalars, pts, c=4) == want
+
+
 def _rand_shape(field, r):
     from lurk_tpu.proof.nova import R1CSShape
     from lurk_tpu.r1cs.cs import ConstraintSystem
