@@ -69,3 +69,23 @@ def test_pallas_nib_bn256():
             for _ in range(3)]
     got = hash_batch_pallas_nib(BN256_SCALAR, 4, pres, tile=4)
     assert got == [hash_preimage(BN256_SCALAR, p) for p in pres]
+
+
+@pytest.mark.parametrize("arity", [3, 4, 6, 8])
+def test_pallas_nib12_parity(arity):
+    from lurk_tpu.poseidon import pallas_nib12 as PN12
+    pres = _cases(arity, 6)
+    x = _pack(pres, arity, 8)
+    h = jax.jit(PN12.build_pallas_nib12_hasher(F, arity, 8))
+    got = _unpack(np.asarray(h(x)), len(pres))
+    assert got == [hash_preimage(F, p) for p in pres]
+
+
+def test_pallas_nib12_bn256():
+    from lurk_tpu.fields import BN256_SCALAR
+    from lurk_tpu.poseidon.pallas_nib12 import hash_batch_pallas_nib12
+    r = random.Random(99)
+    pres = [tuple(r.randrange(BN256_SCALAR.modulus) for _ in range(4))
+            for _ in range(3)]
+    got = hash_batch_pallas_nib12(BN256_SCALAR, 4, pres, tile=4)
+    assert got == [hash_preimage(BN256_SCALAR, p) for p in pres]
