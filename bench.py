@@ -19,10 +19,21 @@ import numpy as np
 
 
 def _candidates(arity):
-    """Best-first kernel ladder: int8 nibble (5th gen) -> folded-partial
-    bf16 -> base MXU. A Mosaic regression (compile failure OR wrong
-    digests) in one kernel falls through to the next."""
+    """Best-first kernel ladder: 12-bit nibble core (6th gen) -> 16-bit
+    int8 nibble (5th gen) -> folded-partial bf16 -> base MXU. A Mosaic
+    regression (compile failure OR wrong digests) in one kernel falls
+    through to the next."""
     from lurk_tpu.fields import PALLAS_SCALAR
+
+    def nib12():
+        # 6th-gen 12-bit-limb kernel (pallas_nib12.py): split-free
+        # squares + Kogge-Stone-free normalize (1.82M/s on v5e)
+        from lurk_tpu.poseidon.pallas_nib12 import (
+            build_pallas_nib12_hasher,
+        )
+        return jax.jit(build_pallas_nib12_hasher(PALLAS_SCALAR, arity,
+                                                 2048,
+                                                 vmem_limit=100 << 20))
 
     def nib():
         # 5th-gen carry-free int8 nibble-plane kernel (pallas_nib.py)
@@ -53,7 +64,7 @@ def _candidates(arity):
         from lurk_tpu.poseidon.pallas_mxu import build_pallas_mxu_hasher
         return jax.jit(build_pallas_mxu_hasher(PALLAS_SCALAR, arity, 512))
 
-    return [nib, opt, opt_small, base]
+    return [nib12, nib, opt, opt_small, base]
 
 
 def _check(hasher, arr, x, f, field, arity) -> bool:

