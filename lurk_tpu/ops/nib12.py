@@ -141,13 +141,14 @@ def limbs_carry_pass(cols, n: int = 1):
     return cols
 
 
-def normalize(cols):
+def normalize(cols, passes: int = 3):
     """[L, B] uint32 columns (value < 2^264, cols < 2^30) -> limbs
-    <= 2^12 (4096 INCLUSIVE — a pending 1-bit carry may remain, which
-    every consumer here tolerates). Three parallel passes, no
-    carry-lookahead: after pass1 cols <= 4095 + 2^18, pass2
-    <= 4095 + 2^6, pass3 <= 4096."""
-    return limbs_carry_pass(cols, 3)
+    <= 2^12 + eps. No carry-lookahead. With the default 3 passes,
+    cols < 2^30 -> <= 4095+2^18 -> <= 4095+2^6 -> <= 4096. Callers
+    whose columns are < 2^26 may pass passes=2 (limbs <= 4100) — the
+    squares/products stay uint32-exact for limbs <= ~6000
+    (2 * 22 * 6000^2 < 2^31)."""
+    return limbs_carry_pass(cols, passes)
 
 
 def square_cols(a):

@@ -40,7 +40,7 @@ DEFAULT_TILE = 2048
 
 L = N12.L                  # 22
 BINS = N12.BINS            # 66
-STATE_COL_BITS = 13        # state columns after two carry passes
+STATE_COL_BITS = 15        # state columns after one carry pass (4 planes)
 SQ_COL_BITS = N12.SQ_COL_BITS   # 18 (after prep_product's one pass)
 IN_COL_BITS_16 = 16        # canonical 16-bit limb inputs
 
@@ -64,11 +64,13 @@ def _constants(field: FieldSpec, arity: int):
     t = spec.width
     n_rounds = spec.full_rounds + spec.partial_rounds
 
-    rc = np.zeros((n_rounds, t * L, 1), dtype=np.uint32)
+    # [nr, t, L, 1]: per-element blocks (the kernel state is a tuple of
+    # per-element arrays, so constants are indexed [round, element])
+    rc = np.zeros((n_rounds, t, L, 1), dtype=np.uint32)
     for r in range(n_rounds):
         for j in range(t):
             v = nf.to_mont_int(int(spec.round_constants[r * t + j]))
-            rc[r, j * L:(j + 1) * L, 0] = N12._int_to_limbs(v)
+            rc[r, j, :, 0] = N12._int_to_limbs(v)
 
     # fused MDS+REDC-head matrix over 4-plane state columns
     in_w_el = N12.plane_weights(L, -(-STATE_COL_BITS // 4))
@@ -146,26 +148,32 @@ def build_pallas_nib12_hasher(field: FieldSpec, arity: int,
         sq_redc = (sqm_ref[...], phi, sqw_ref[...], u_col, sq_passes)
 
         def sbox(u_cols):
-            un = N12.normalize(u_cols)
+            # every sbox input here has cols < 2^26.1 (REDC outputs are
+            # < 2^25.2 and MDS outputs + rc < 2^26.01), so two passes
+            # bound limbs by 4100 — squares stay uint32-exact
+            un = N12.normalize(u_cols, 2)
             x2 = N12.redc_cols(
                 sq_redc, N12.prep_product(N12.square_cols(un)),
                 SQ_COL_BITS)
-            x2n = N12.normalize(x2)
+            x2n = N12.normalize(x2, 2)
             x4 = N12.redc_cols(
                 sq_redc, N12.prep_product(N12.square_cols(x2n)),
                 SQ_COL_BITS)
-            x4n = N12.normalize(x4)
+            x4n = N12.normalize(x4, 2)
             return N12.redc_cols(
                 sq_redc, N12.prep_product(N12.product_cols(x4n, un)),
                 SQ_COL_BITS)
 
         def mds_layer(els: List):
-            # two passes per element: cols < 2^27 -> <= 4096+8 -> 4
-            # nibble planes. Per-element (offset-0 arrays) rather than
-            # one concatenated pass: slicing a [t*L, B] concat back into
-            # elements puts each slice at a different sublane offset,
-            # which sends Mosaic's layout assignment pathological.
-            els = [N12.limbs_carry_pass(e, 2) for e in els]
+            # ONE pass per element: cols < 2^26.1 -> <= 4095 + 2^14.1
+            # < 2^15, which still fits the 4 nibble planes the MDS
+            # matrix contracts over (STATE_COL_BITS 13 and 15 both take
+            # ceil(bits/4) = 4 planes). Per-element (offset-0 arrays)
+            # rather than one concatenated pass: slicing a [t*L, B]
+            # concat back into elements puts each slice at a different
+            # sublane offset, which sends Mosaic layout assignment
+            # pathological.
+            els = [N12.limbs_carry_pass(e, 1) for e in els]
             planes = jnp.concatenate(
                 [N12.cols_to_planes(e, STATE_COL_BITS) for e in els],
                 axis=0)
@@ -175,21 +183,25 @@ def build_pallas_nib12_hasher(field: FieldSpec, arity: int,
                                    phi, u_col, binw, mds_passes)
                 for j in range(t)]
 
-        def unstack(st):
-            return [st[i * L:(i + 1) * L] for i in range(t)]
+        # The round state is a TUPLE of t offset-0 [L, B] arrays — never
+        # one concatenated [t*L, B] array. unstack()-style slices of a
+        # concat sit at distinct sublane offsets (L % 8 != 0), and every
+        # downstream op then pays a Mosaic relayout (or worse, sends
+        # layout assignment pathological). Tuple state also lets a full
+        # round run ONE wide S-box over the lane-concatenated elements
+        # (legal: all inputs offset {0,0}), so its 3 REDCs are single
+        # [*, t*B] matmuls instead of t small ones.
 
-        def round_body(r, st, n_sbox: int):
-            st = st + rc_ref[r]                           # [t*L, B]+[t*L,1]
-            els = unstack(st)
-            els = [sbox(e) if i < n_sbox else e
-                   for i, e in enumerate(els)]
-            return jnp.concatenate(mds_layer(els), axis=0)
+        def full_round(r, els):
+            els = [e + rc_ref[r, i] for i, e in enumerate(els)]
+            y = sbox(jnp.concatenate(els, axis=1))        # [L, t*B]
+            return tuple(mds_layer(
+                [y[:, i * bt:(i + 1) * bt] for i in range(t)]))
 
-        def full_round(r, st):
-            return round_body(r, st, t)
-
-        def partial_round(r, st):
-            return round_body(r, st, 1)
+        def partial_round(r, els):
+            els = [e + rc_ref[r, i] for i, e in enumerate(els)]
+            els[0] = sbox(els[0])
+            return tuple(mds_layer(els))
 
         # ---- load (16-bit limb planes) + to-Montgomery ----
         els = []
@@ -201,7 +213,7 @@ def build_pallas_nib12_hasher(field: FieldSpec, arity: int,
         tag_cols = jnp.concatenate(
             [jnp.full((1, bt), int(tag[k]), dtype=jnp.uint32)
              for k in range(L)], axis=0)
-        st = jnp.concatenate([tag_cols] + els, axis=0)    # [t*L, B]
+        st = (tag_cols, *els)
 
         st = jax.lax.fori_loop(0, half, full_round, st)
         st = jax.lax.fori_loop(half, half + rp, partial_round, st)
@@ -209,7 +221,7 @@ def build_pallas_nib12_hasher(field: FieldSpec, arity: int,
                                st)
 
         # ---- digest: from_mont(state[1]) + canonicalize + 12->16 ----
-        s1n = N12.normalize_exact(st[L:2 * L])
+        s1n = N12.normalize_exact(st[1])
         fin_redc = (finm_ref[...], phi, finw_ref[...], u_col, fin_passes)
         d = N12.redc_cols(fin_redc, s1n, N12.LIMB_BITS)
         dn = N12.normalize_exact(d)
