@@ -238,12 +238,19 @@ def redc_cols(mats, t_cols, col_bits: int):
     return jnp.concatenate([out[:1] + c, out[1:]], axis=0)
 
 
+def m_passes_for(m_rows: np.ndarray) -> int:
+    """Carry passes to bring the m-bin matmul output under int8 range,
+    from the EXACT per-row digit sums (input planes are <= 15), rather
+    than the loose 225*K worst case — usually saves a pass."""
+    bound = int(m_rows.astype(np.int64).sum(axis=1).max()) * 15
+    return NB.carry_passes_for(max(bound, 1))
+
+
 def redc_mats_host(nf: Nib12Field, col_bits: int):
-    nibs = -(-col_bits // 4)
-    n_passes = NB.carry_passes_for(nibs * L * 225)
-    return (nf.m_matrix(col_bits), nf.p_hi_mat,
+    m_mat = nf.m_matrix(col_bits)
+    return (m_mat, nf.p_hi_mat,
             nf.w_row(col_bits).reshape(L, 1),
-            nf.u_row.reshape(BINS, 1), n_passes)
+            nf.u_row.reshape(BINS, 1), m_passes_for(m_mat))
 
 
 def sub_const_ks(limbs, const_limbs: np.ndarray):

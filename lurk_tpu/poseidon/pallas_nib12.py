@@ -132,9 +132,11 @@ def build_pallas_nib12_hasher(field: FieldSpec, arity: int,
     t = spec.width
     half = spec.full_rounds // 2
     rp = spec.partial_rounds
-    ppe = mds_np.shape[1] // t
-    mds_passes = NB.carry_passes_for(t * ppe * 225)
-    load_passes = NB.carry_passes_for(64 * 225)
+    # exact m-row digit sums over every output element's m block
+    mds_passes = max(
+        N12.m_passes_for(mds_np[j * 3 * BINS:j * 3 * BINS + BINS])
+        for j in range(t))
+    load_passes = N12.m_passes_for(load_np[:BINS])
     sq_m_mat, sq_phi, sq_w, sq_u, sq_passes = sq_mats
     fin_m_mat, _, fin_w, _, fin_passes = fin_mats
 
