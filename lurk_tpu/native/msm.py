@@ -44,14 +44,28 @@ def pack_points(points: Sequence[Affine]) -> np.ndarray:
 def _default_c(n: int) -> int:
     if n < 32:
         return 3
-    if int(os.environ.get("LURK_MSM_ALGO", "1")) == 1:
-        # batch-affine accumulation is ~2x cheaper per point than the
-        # serial mixed adds, which shifts the optimal window down:
-        # bucket reduction (2*2^c Jacobian adds/window) caps c sooner.
-        # Measured on this host (scripts/bench_msm_ab.py): best c =
-        # 11/13/15 at 2^16/2^18/2^20.
+    if _algo() == 1:
+        # batch-affine accumulation is cheaper per point than serial
+        # mixed adds, which shifts the optimal window down: bucket
+        # reduction (2*2^c Jacobian adds/window) caps c sooner.
+        # Measured (scripts/bench_msm_ab.py): best c = 11/13/15 at
+        # 2^16/2^18/2^20.
         return min(16, max(4, int(math.log2(n)) - 5))
     return min(16, max(4, int(math.log2(n)) - 2))
+
+
+def _algo() -> int:
+    """0 = sequential mixed adds (default), 1 = batch affine.
+
+    Batch affine wins ~1.2x on standalone benchmarks (uniform AND
+    witness-skewed scalar mixes, scripts/bench_msm_ab.py), but the
+    END-TO-END fib prove regressed 89s -> 222s with it as default —
+    unreproduced standalone; suspicion is interaction with the
+    witness-gen∥fold pipeline's memory traffic (the batch path
+    allocates/touches ~60MB of sorted coordinate arrays per window
+    per call). Until that's profiled inside the prover, the serial
+    path stays the default; set LURK_MSM_ALGO=1 to opt in."""
+    return int(os.environ.get("LURK_MSM_ALGO", "0"))
 
 
 def msm(curve: Curve, scalars: Sequence[int], points: Sequence[Affine],
@@ -80,9 +94,7 @@ def msm_packed(curve: Curve, scalars: Sequence[int], packed: np.ndarray,
     scs = _pack_scalars(scalars, curve.order)
     out = np.zeros(12, dtype=np.uint64)
     u64p = ctypes.POINTER(ctypes.c_uint64)
-    # 1 = batch-affine bucket accumulation (default); 0 = sequential
-    # mixed adds (A/B baseline, LURK_MSM_ALGO=0)
-    algo = int(os.environ.get("LURK_MSM_ALGO", "1"))
+    algo = _algo()
     lib.lurk_msm_ex(
         mod.ctypes.data_as(u64p), r2.ctypes.data_as(u64p),
         pts.ctypes.data_as(u64p), scs.ctypes.data_as(u64p),
