@@ -12,8 +12,9 @@ Lurk-list transcript:
 
 The Scope performs evaluation-time bookkeeping (queries, dependencies,
 provenances via topological waves, transcript assembly). The NIVC
-circuit side (CircuitScope / MemosetProver) is future work; the balance
-check here is the verifier-side arithmetic the circuit will enforce.
+circuit side lives in :mod:`lurk_tpu.coroutine.circuit` (CircuitScope)
+and :mod:`lurk_tpu.coroutine.prove` (MemosetProver); the balance check
+here is the same arithmetic those circuits enforce in-circuit.
 """
 
 from __future__ import annotations

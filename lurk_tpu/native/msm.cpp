@@ -448,12 +448,15 @@ void lurk_msm_ex(const u64* mod_limbs, const u64* r2_limbs,
     std::memcpy(out + 8, zo.v, 32);
 }
 
-// back-compat entry: batch-affine accumulation (the fast default)
+// back-compat entry: serial mixed adds (algo 0), matching the Python
+// side's documented default (msm.py::_algo — batch affine regressed the
+// end-to-end prove and stays opt-in there; the legacy symbol should not
+// silently diverge).
 void lurk_msm(const u64* mod_limbs, const u64* r2_limbs,
               const u64* points, const u64* scalars, size_t n,
               int c, int n_threads, int scalar_bits, u64* out) {
     lurk_msm_ex(mod_limbs, r2_limbs, points, scalars, n, c, n_threads,
-                scalar_bits, 1, out);
+                scalar_bits, 0, out);
 }
 
 }

@@ -287,14 +287,23 @@ class Store:
             if npos.available():
                 return npos.hash_batch(self.field, arity, pres)
             return [self.poseidon.hash(p) for p in pres]
-        try:
-            # 6th-gen 12-bit nibble kernel (pallas_nib12, 1.82M/s on
-            # v5e); digest parity pinned by tests/test_pallas_nib.py.
-            # Falls back on Mosaic regressions.
-            from ..poseidon.pallas_nib12 import hash_batch_pallas_nib12
-            return hash_batch_pallas_nib12(self.field, arity, pres)
-        except Exception:
-            pass
+        if not getattr(self, "_nib12_broken", False):
+            try:
+                # 6th-gen 12-bit nibble kernel (pallas_nib12, 1.9M/s on
+                # v5e); digest parity pinned by tests/test_pallas_nib.py.
+                # Falls back on Mosaic regressions.
+                from ..poseidon.pallas_nib12 import hash_batch_pallas_nib12
+                return hash_batch_pallas_nib12(self.field, arity, pres)
+            except Exception:
+                # Log once and remember: a persistent kernel failure must
+                # not silently recompile + retry on every hydration wave.
+                import warnings
+                import traceback
+                self._nib12_broken = True
+                warnings.warn(
+                    "pallas_nib12 kernel failed; falling back to the "
+                    "5th-gen kernel for this store:\n"
+                    + traceback.format_exc(limit=3))
         try:
             # 5th-gen carry-free 16-bit int8 kernel (pallas_nib)
             from ..poseidon.pallas_nib import hash_batch_pallas_nib

@@ -58,10 +58,13 @@ def test_native_msm_empty_and_zero():
     assert nmsm.msm(PALLAS, [0, 0], [g, g], c=4) is None
 
 
-def test_native_msm_batch_affine_special_pairs():
-    """Exercise the batch-affine reduction's annihilation (P + (-P))
-    and doubling (P + P) branches: equal/opposite points landing in the
-    same bucket, including whole buckets that vanish."""
+@pytest.mark.parametrize("algo", [0, 1], ids=["serial", "batch-affine"])
+def test_native_msm_batch_affine_special_pairs(algo, monkeypatch):
+    """Exercise annihilation (P + (-P)) and doubling (P + P) in the same
+    bucket on BOTH accumulation paths: serial mixed adds (algo 0) and
+    the batch-affine annihilation/doubling/compaction path (algo 1) —
+    the special-case handling is entirely disjoint between them."""
+    monkeypatch.setenv("LURK_MSM_ALGO", str(algo))
     g = PALLAS.generator
     neg = (g[0], PALLAS.p - g[1])
     g2 = PALLAS.add(g, g)
