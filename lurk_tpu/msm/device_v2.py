@@ -1,0 +1,369 @@
+"""Device Pippenger MSM v2: sorted-segment bucket accumulation.
+
+Replaces the O(N log N) EC-prefix-scan formulation (msm/pippenger.py)
+with a TPU-first design whose total EC-add count is ~N per window:
+
+  1. **Signed windows** (digits in [-2^(c-1), 2^(c-1)], negation folded
+     into a per-point y/-y select — the point table carries both) halve
+     the bucket count; zero digits are masked out.
+  2. **Per-window device sort** of (bucket, index) — XLA's batched sort.
+  3. **Lane-major chunked serial scan**: the sorted stream is reshaped
+     to [LANES, CHUNK] so each vector lane owns a contiguous range of
+     runs; ONE lax.scan over CHUNK steps performs a masked complete
+     mixed add per lane per step (all windows ride the same lane axis).
+     A run that closes after another run already closed in its lane
+     must begin AND end inside that lane, so it exists in no other lane
+     and within a step distinct lanes flush distinct buckets: those
+     accumulators are scattered straight into the bucket table,
+     provably collision-free. Each lane's first-closing and last
+     (still-open) runs are emitted as boundary records instead.
+  4. **Boundary combine**: the 2*LANES boundary records per window are
+     bucket-sorted by construction; a log-depth segmented inclusive
+     scan (key-equality Hillis-Steele over masked complete adds)
+     reduces runs that straddle lanes; last-of-segment entries scatter
+     into the table (disjoint from step-3 writes: a straddling run
+     never interior-flushes).
+  5. **Grouped bucket reduction**: sum_b b*B_b via the running-sum
+     identity vectorized over [n_win*GROUPS] lanes with g serial steps;
+     group totals combine through one batched identity-padded tree and
+     a bit-decomposed Horner; windows combine with a masked parallel
+     doubling ladder.
+
+All loop bodies are traced once (lax.scan / fori_loop) and all EC
+arithmetic is the complete-formula fe12/ec12 layer: branchless,
+identity-safe, no data-dependent control flow anywhere.
+
+Reference role: arecibo's Pippenger MSM behind Nova's Pedersen
+commitments (SURVEY §2.3-2.4; reference Cargo.toml:128). Oracle:
+lurk_tpu.curves.weierstrass.Curve.pippenger.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache, partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves.weierstrass import Affine, Curve
+from . import ec12 as E
+from . import fe12 as F
+from .ec12 import Pt, ec_add, ec_madd, pt_select
+
+DEFAULT_C = 16
+
+
+def _cfg(c_bits: int):
+    """(n_win, n_buckets, group_g, groups) for a window width."""
+    assert c_bits in (8, 16)
+    n_buckets = 1 << (c_bits - 1)
+    g = 64 if c_bits == 16 else 16
+    return 256 // c_bits, n_buckets, g, n_buckets // g
+
+
+# ---------------------------------------------------------------------------
+# host-side digit decomposition
+# ---------------------------------------------------------------------------
+
+
+def signed_digits(scalars: Sequence[int], order: int, c_bits: int):
+    """[n_win, n] int32 bucket ids (0 = skip) and packed (idx<<1)|neg."""
+    from ..native import fastpack
+    n_win, _, _, _ = _cfg(c_bits)
+    n = len(scalars)
+    buf = fastpack.pack_ints([int(s) % order for s in scalars])
+    dt = "<u2" if c_bits == 16 else np.uint8
+    raw = np.frombuffer(buf, dtype=dt).reshape(n, n_win).astype(np.int32)
+    buckets = np.zeros((n_win, n), dtype=np.int32)
+    negidx = np.zeros((n_win, n), dtype=np.int32)
+    idx2 = np.arange(n, dtype=np.int32) << 1
+    carry = np.zeros(n, dtype=np.int32)
+    half, full = 1 << (c_bits - 1), 1 << c_bits
+    for w in range(n_win):
+        d = raw[:, w] + carry
+        neg = d > half
+        dd = np.where(neg, d - full, d)
+        carry = neg.astype(np.int32)
+        buckets[w] = np.abs(dd)
+        negidx[w] = idx2 | (dd < 0)
+    assert not carry.any(), "scalar exceeded the window budget"
+    return buckets, negidx
+
+
+# ---------------------------------------------------------------------------
+# device helpers
+# ---------------------------------------------------------------------------
+
+
+def _flat(pt: Pt) -> jnp.ndarray:
+    """Pt batch [22, B] -> rows [B, 66]."""
+    return jnp.concatenate(
+        [pt.x.cols.T, pt.y.cols.T, pt.z.cols.T], axis=1)
+
+
+def _unflat(curve: Curve, rows: jnp.ndarray) -> Pt:
+    L = F.L
+    return E.assume_pt(curve, rows[:, :L].T, rows[:, L:2 * L].T,
+                       rows[:, 2 * L:].T)
+
+
+def _ident_rows(curve: Curve, n: int) -> np.ndarray:
+    ctx = E.ec_ctx(curve)
+    row = np.zeros((1, 3 * F.L), dtype=np.int32)
+    row[0, F.L:2 * F.L] = F._limb_col(ctx.r_mod_p).ravel()
+    return np.broadcast_to(row, (n, 3 * F.L)).copy()
+
+
+def _carry(pt: Pt):
+    return (pt.x.cols, pt.y.cols, pt.z.cols)
+
+
+def _tree_sum_flat(curve: Curve, rows: jnp.ndarray, blocks: int,
+                   width: int) -> jnp.ndarray:
+    """[blocks*width, 66] -> [blocks, 66]: per-block identity-padded
+    pairwise tree at fixed shape (body traced once). width: pow2."""
+    ctx = E.ec_ctx(curve)
+    assert width & (width - 1) == 0
+    if width == 1:
+        return rows
+    levels = width.bit_length() - 1
+    ident = jnp.asarray(_ident_rows(curve, blocks * width // 2))
+
+    def body(_, r):
+        r3 = r.reshape(blocks, width // 2, 2, 66)
+        a = _unflat(curve, r3[:, :, 0].reshape(-1, 66))
+        b = _unflat(curve, r3[:, :, 1].reshape(-1, 66))
+        s = _flat(ec_add(ctx, a, b)).reshape(blocks, width // 2, 66)
+        return jnp.concatenate(
+            [s, ident.reshape(blocks, width // 2, 66)],
+            axis=1).reshape(blocks * width, 66)
+
+    out = jax.lax.fori_loop(0, levels, body, rows)
+    return out.reshape(blocks, width, 66)[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+
+def _msm_kernel(curve: Curve, lanes_w: int, c_bits: int,
+                points, buckets, negidx):
+    """points: [n, 66] int32; buckets/negidx: [n_win, n] int32.
+    Returns a [1, 66] row (projective, Montgomery)."""
+    ctx = E.ec_ctx(curve)
+    n_win, n_buckets, group_g, groups = _cfg(c_bits)
+    stride = n_buckets + 1
+    n = points.shape[0]
+    chunk = n // lanes_w
+    lanes_tot = n_win * lanes_w
+
+    # 1-2. sort each window by bucket id
+    keys, vals = jax.lax.sort_key_val(buckets, negidx, dimension=1)
+    keys = keys.reshape(n_win, lanes_w, chunk).transpose(2, 0, 1) \
+               .reshape(chunk, lanes_tot)
+    vals = vals.reshape(n_win, lanes_w, chunk).transpose(2, 0, 1) \
+               .reshape(chunk, lanes_tot)
+
+    win_id = jnp.repeat(jnp.arange(n_win, dtype=jnp.int32), lanes_w)
+    table_rows = n_win * stride
+    btab0 = jnp.asarray(_ident_rows(curve, table_rows))
+    ident = E.identity(ctx, lanes_tot)
+    L = F.L
+
+    # 3. chunked serial scan with in-scan collision-free scatter
+    def step(carry, inp):
+        (ax, ay, az, cur, seen, headk, hrows, btab) = carry
+        key, vl = inp
+        acc = E.assume_pt(curve, ax, ay, az)
+        is_new = key != cur
+        closing = is_new & (cur != 0)
+        rec_head = closing & ~seen
+        headk = jnp.where(rec_head, cur, headk)
+        acc_rows = _flat(acc)
+        hrows = jnp.where(rec_head[:, None], acc_rows, hrows)
+        flush = closing & seen
+        scat = jnp.where(flush, win_id * stride + cur, table_rows)
+        btab = btab.at[scat].set(acc_rows, mode="drop")
+        seen = seen | closing
+        acc = pt_select(is_new[None, :], ident, acc)
+        idx = vl >> 1
+        neg = (vl & 1).astype(bool)
+        rows = points[idx]                      # [B, 66] gather
+        x2 = F.Fe(rows[:, :L].T, ctx.p, 4096)
+        y2 = F.Fe(jnp.where(neg[:, None], rows[:, 2 * L:],
+                            rows[:, L:2 * L]).T, ctx.p, 4096)
+        added = ec_madd(ctx, acc, x2, y2)
+        out = pt_select((key != 0)[None, :], added, acc)
+        return (*_carry(out), key, seen, headk, hrows, btab), None
+
+    init = (*_carry(ident),
+            jnp.zeros((lanes_tot,), jnp.int32),
+            jnp.zeros((lanes_tot,), bool),
+            keys[0],                              # head key := first key
+            jnp.asarray(_ident_rows(curve, lanes_tot)), btab0)
+    (ax, ay, az, cur, seen, headk, hrows, btab), _ = jax.lax.scan(
+        step, init, (keys, vals))
+
+    # 4. boundary combine: interleave (head, tail) per lane (bucket-
+    # sorted), segmented inclusive sum, last-of-segment scatter.
+    tail_rows = _flat(E.assume_pt(curve, ax, ay, az))
+    m = 2 * lanes_w
+    bk = jnp.stack([headk, cur], axis=1) \
+        .reshape(n_win, lanes_w, 2).reshape(n_win * m)
+    brows = jnp.stack([hrows, tail_rows], axis=1) \
+        .reshape(n_win, lanes_w, 2, 66).reshape(n_win * m, 66)
+    pos = jnp.tile(jnp.arange(m, dtype=jnp.int32), n_win)
+
+    def seg_body(k, rb):
+        rows, _ = rb
+        s = jnp.int32(1) << k
+        ok = pos >= s
+        sk = jnp.where(ok, jnp.roll(bk, s), -1)
+        sp = _unflat(curve, jnp.roll(rows, s, axis=0))
+        pts = _unflat(curve, rows)
+        summed = _flat(ec_add(ctx, pts, sp))
+        take = (ok & (sk == bk))[:, None]
+        return (jnp.where(take, summed, rows), 0)
+
+    levels = (m - 1).bit_length()
+    brows, _ = jax.lax.fori_loop(0, levels, seg_body, (brows, 0))
+    nextk = jnp.where(pos < m - 1, jnp.roll(bk, -1), -1)
+    last = (bk != nextk) & (bk != 0)
+    wid2 = jnp.repeat(jnp.arange(n_win, dtype=jnp.int32), m)
+    scat = jnp.where(last, wid2 * stride + bk, table_rows)
+    btab = btab.at[scat].set(brows, mode="drop")
+
+    # 5. bucket reduction: running-sum over groups (buckets 1..n_buckets
+    # = groups*group_g exactly; id b = k*g + j, j in [1, g])
+    slab = btab.reshape(n_win, stride, 66)[:, 1:1 + n_buckets]
+    slab = slab.reshape(n_win, groups, group_g, 66) \
+               .transpose(2, 0, 1, 3).reshape(group_g, n_win * groups, 66)
+    gident = E.identity(ctx, n_win * groups)
+
+    def red_step(carry, rows):
+        rx, ry, rz, tx, ty, tz = carry
+        run = ec_add(ctx, E.assume_pt(curve, rx, ry, rz),
+                     _unflat(curve, rows))
+        tot = ec_add(ctx, E.assume_pt(curve, tx, ty, tz), run)
+        return (*_carry(run), *_carry(tot)), None
+
+    ginit = (*_carry(gident), *_carry(gident))
+    (rx, ry, rz, tx, ty, tz), _ = jax.lax.scan(
+        red_step, ginit, slab[::-1])
+    s_rows = _flat(E.assume_pt(curve, rx, ry, rz))   # group sums S_k
+    w_rows = _flat(E.assume_pt(curve, tx, ty, tz))   # in-group sums W_k
+
+    # total_w = sum_k W_k  +  g * sum_k k*S_k (bit-decomposed Horner).
+    # One batched tree handles W and every bit-plane of k at once.
+    kvec = jnp.tile(jnp.arange(groups, dtype=jnp.int32), n_win)
+    kbits = (groups - 1).bit_length()
+    planes = [w_rows]
+    id_rows = jnp.asarray(_ident_rows(curve, n_win * groups))
+    for j in range(kbits):
+        selj = (((kvec >> j) & 1) == 1)[:, None]
+        planes.append(jnp.where(selj, s_rows, id_rows))
+    stackd = jnp.concatenate(planes, axis=0)       # [(1+kbits)*nw*g, 66]
+    sums = _tree_sum_flat(curve, stackd, (1 + kbits) * n_win, groups)
+    w_total = _unflat(curve, sums[:n_win])
+    bitp = sums[n_win:].reshape(kbits, n_win, 66)
+
+    def horner_bit(t, c3):
+        x, y, z = c3
+        acc = E.assume_pt(curve, x, y, z)
+        acc = ec_add(ctx, acc, acc)
+        rowj = jax.lax.dynamic_index_in_dim(bitp, kbits - 1 - t, axis=0,
+                                            keepdims=False)
+        acc = ec_add(ctx, acc, _unflat(curve, rowj))
+        return _carry(acc)
+
+    top = _unflat(curve, bitp[kbits - 1])
+    hc = jax.lax.fori_loop(1, kbits, horner_bit, _carry(top))
+    acc_bit = E.assume_pt(curve, *hc)
+
+    def dbl_body(_, c3):
+        pt = E.assume_pt(curve, *c3)
+        return _carry(ec_add(ctx, pt, pt))
+
+    gshift = group_g.bit_length() - 1              # * g
+    acc_bit = E.assume_pt(curve, *jax.lax.fori_loop(
+        0, gshift, dbl_body, _carry(acc_bit)))
+    per_win = ec_add(ctx, w_total, acc_bit)        # [n_win]
+
+    # 6. window combine: masked doubling ladder + tree
+    wv = jnp.arange(n_win, dtype=jnp.int32)
+
+    def ladder(t, c3):
+        pt = E.assume_pt(curve, *c3)
+        d = ec_add(ctx, pt, pt)
+        out = pt_select((t < c_bits * wv)[None, :], d, pt)
+        return _carry(out)
+
+    lc = jax.lax.fori_loop(0, c_bits * (n_win - 1), ladder,
+                           _carry(per_win))
+    fin_rows = _tree_sum_flat(
+        curve, _flat(E.assume_pt(curve, *lc)), 1, n_win)
+    return fin_rows
+
+
+@lru_cache(maxsize=16)
+def _jit_kernel(curve: Curve, lanes_w: int, c_bits: int):
+    return jax.jit(partial(_msm_kernel, curve, lanes_w, c_bits))
+
+
+# ---------------------------------------------------------------------------
+# host API with a cached device point table
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class MsmTable:
+    """Device-resident (x, y, -y) Montgomery table for a fixed base set
+    (Pedersen generators are long-lived — upload once, reuse)."""
+
+    curve: Curve
+    n: int                    # padded size (power of two)
+    rows: jnp.ndarray         # [n, 66] int32
+
+    @staticmethod
+    def build(curve: Curve, points: Sequence[Affine]) -> "MsmTable":
+        n = max(64, 1 << (len(points) - 1).bit_length())
+        rows = E.points_to_cols(curve, list(points))
+        if n > len(points):
+            rows = np.concatenate(
+                [rows, np.zeros((n - len(points), 3 * F.L), np.int32)])
+        return MsmTable(curve, n, jax.device_put(jnp.asarray(rows)))
+
+    def msm(self, scalars: Sequence[int], lanes_w: int = 512,
+            c_bits: int = DEFAULT_C) -> Affine:
+        """MSM of scalars against the table's first len(scalars) points."""
+        out = self.msm_async(scalars, lanes_w, c_bits)
+        return E.pt_from_device(self.curve, _unflat(self.curve, out))[0]
+
+    def msm_async(self, scalars: Sequence[int], lanes_w: int = 512,
+                  c_bits: int = DEFAULT_C):
+        """Dispatch without blocking; returns the device [1, 66] row."""
+        n = self.n
+        assert len(scalars) <= n
+        n_win, _, _, _ = _cfg(c_bits)
+        buckets, negidx = signed_digits(scalars, self.curve.order, c_bits)
+        if len(scalars) < n:
+            padb = np.zeros((n_win, n - len(scalars)), np.int32)
+            buckets = np.concatenate([buckets, padb], axis=1)
+            negidx = np.concatenate([negidx, padb], axis=1)
+        lanes_w = min(lanes_w, max(1, n // 2))
+        fn = _jit_kernel(self.curve, lanes_w, c_bits)
+        return fn(self.rows, jnp.asarray(buckets), jnp.asarray(negidx))
+
+
+def msm_v2(curve: Curve, scalars: Sequence[int],
+           points: Sequence[Affine], lanes_w: int = 512,
+           c_bits: int = DEFAULT_C) -> Affine:
+    """One-shot API (table built per call — prefer MsmTable for reuse)."""
+    if not len(scalars):
+        return None
+    tab = MsmTable.build(curve, points)
+    return tab.msm(list(scalars), lanes_w=lanes_w, c_bits=c_bits)
