@@ -20,8 +20,8 @@ def make_repl(args):
     from .repl import Repl
     store = Store(FIELDS[args.field])
     return Repl(store, rc=args.rc, limit=args.limit,
-                backend=getattr(args, "backend", "supernova"),
-                compress=getattr(args, "compress", False))
+                backend=getattr(args, "backend", "supernova-cycle"),
+                compress=getattr(args, "compress", True))
 
 
 def main(argv=None) -> int:
@@ -36,17 +36,25 @@ def main(argv=None) -> int:
                        help="max evaluation iterations")
         p.add_argument("--field", default="bn256", choices=list(FIELDS),
                        help="Lurk field")
-        p.add_argument("--backend", default="supernova",
+        p.add_argument("--backend", default="supernova-cycle",
                        choices=["nova", "supernova", "supernova-cycle",
                                 "nova-fold", "supernova-fold"],
                        help="folding backend (reference parity: "
-                            "supernova = NIVC [default], nova = O(1) "
-                            "augmented-circuit IVC on the curve cycle; "
-                            "*-fold = fold chains with recomputing "
-                            "verifier)")
-        p.add_argument("--compress", action="store_true",
+                            "supernova-cycle = succinct NIVC with the "
+                            "in-circuit fold verifier [default, "
+                            "cli/mod.rs backend default=SuperNova], "
+                            "nova = O(1) augmented-circuit IVC; "
+                            "supernova / *-fold = debug fold chains "
+                            "with a recomputing verifier)")
+        p.add_argument("--compress", dest="compress",
+                       action="store_true", default=True,
                        help="Spartan/IPA-compress proofs before "
-                            "persisting (reference default; slower)")
+                            "persisting (default, reference parity: "
+                            "repl/mod.rs:303-401 always compresses)")
+        p.add_argument("--no-compress", dest="compress",
+                       action="store_false",
+                       help="persist the uncompressed recursive proof "
+                            "(debug)")
 
     p_repl = sub.add_parser("repl", help="interactive REPL")
     common(p_repl)
@@ -68,8 +76,13 @@ def main(argv=None) -> int:
     p_inspect.add_argument("proof_key")
 
     p_pp = sub.add_parser("public-params",
-                          help="manage the public parameter cache")
-    p_pp.add_argument("action", choices=["list", "clean"])
+                          help="manage the public parameter cache "
+                               "(cli/mod.rs:590-683 list/clean/"
+                               "remove/show)")
+    p_pp.add_argument("action", choices=["list", "clean", "remove",
+                                         "show"])
+    p_pp.add_argument("key", nargs="?", default=None,
+                      help="cache entry name (for remove/show)")
 
     p_circom = sub.add_parser(
         "circom", help="package a compiled circom gadget "
@@ -131,10 +144,33 @@ def main(argv=None) -> int:
         if args.action == "list":
             for f in sorted(d.iterdir()):
                 print(f.name)
-        else:
+        elif args.action == "clean":
             for f in d.iterdir():
                 f.unlink()
             print("public params cache cleaned")
+        elif args.action in ("remove", "show"):
+            if not args.key:
+                print(f"Error: `public-params {args.action}` needs a "
+                      "cache entry name")
+                return 1
+            path = d / args.key
+            if not path.exists():
+                print(f"Error: no cache entry named {args.key}")
+                return 1
+            if args.action == "remove":
+                path.unlink()
+                print(f"removed {args.key}")
+            else:
+                st = path.stat()
+                print(f"{args.key}: {st.st_size} bytes")
+                import numpy as _np
+                try:
+                    with _np.load(path, allow_pickle=False) as z:
+                        for name in z.files:
+                            arr = z[name]
+                            print(f"  {name}: {arr.dtype}{arr.shape}")
+                except Exception:
+                    pass
         return 0
     return 2
 

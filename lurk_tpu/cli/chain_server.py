@@ -83,12 +83,13 @@ class ChainState:
                 "iterations": len(frames),
             }
             if prove:
-                from ..proof.prover import NovaProver
-                prover = NovaProver(rc=self.rc)
+                from ..proof import prover_cycle as pcy
+                prover = pcy.CycleNovaProver(rc=self.rc)
                 pp, proof = prover.prove_from_frames(s, frames)
-                ok = NovaProver.verify(pp, proof)
+                compressed = pcy.compress_cycle(pp, proof)
+                ok = pcy.verify_compressed_cycle(pp, compressed)
                 resp["proof_verified"] = ok
-                resp["proof_steps"] = len(proof.steps)
+                resp["proof_steps"] = proof.n
             return resp
 
     def _dump_ptr(self, ptr: Ptr) -> dict:
@@ -125,6 +126,142 @@ class ChainState:
         _, fun = store.open(digest)
         state = ChainState(store, fun, rc=d["rc"])
         state.callable_digest = digest
+        state.calls = d["calls"]
+        return state
+
+
+class StreamState:
+    """Paused-stream continuation service with an incremental
+    RecursiveSNARK carried across calls (functionality parity:
+    chain-server/src/server.rs:227-440 StreamService — one long
+    streamed evaluation, each `chain` call resumes it with the next
+    argument and extends ONE proof covering every call so far).
+
+    The proof backend is the O(1) augmented-circuit cycle prover
+    (CycleNovaProver.prove_incremental); the reference uses its
+    SuperNova prover with `previous_proof` the same way."""
+
+    def __init__(self, store: Store, callable_ptr: Ptr, rc: int = 10,
+                 limit: int = 100_000,
+                 session: Optional[Path] = None):
+        from ..proof.prover_cycle import CycleNovaProver
+        self.store = store
+        self.first_callable = callable_ptr
+        self.callable = callable_ptr
+        self.result: Optional[Ptr] = None
+        self.prover = CycleNovaProver(rc=rc)
+        self.pp = None
+        self.snark = None            # live CycleSNARK accumulator
+        self.rc = rc
+        self.limit = limit
+        self.session = session
+        self.calls = 0
+        self.lock = threading.Lock()
+
+    def chain(self, arg: Ptr, prove: bool = True) -> dict:
+        with self.lock:
+            s = self.store
+            ch = ev.dummy_channel()
+            if self.result is None:
+                ch.feed(arg)
+                frames = ev.start_stream(None, self.callable, s,
+                                         self.limit, ch)
+            else:
+                ch.feed(s.intern_nil())    # no stutter
+                ch.feed(arg)
+                inp = [s.cons(self.result, self.callable),
+                       s.intern_empty_env(), s.cont_stream_pause()]
+                frames = ev.resume_stream(None, inp, s, self.limit, ch)
+            out = frames[-1].output
+            if out[2].tag != ContTag.StreamPause:
+                return {"error": "evaluation did not pause the stream"}
+            pair = s.fetch_cons(out[0])
+            if pair is None:
+                return {"error": "chain result is not a pair"}
+            result, next_callable = pair
+            s.hydrate_z_cache()
+            resp = {
+                "result": self._dump_ptr(result),
+                "iterations": len(frames),
+                "calls": self.calls + 1,
+            }
+            if prove:
+                pp, snark = self.prover.prove_incremental(
+                    s, frames, init=self.snark)
+                self.pp, self.snark = pp, snark
+                proof = snark.finish()
+                from ..proof.prover_cycle import (
+                    compress_cycle, verify_compressed_cycle)
+                compressed = compress_cycle(pp, proof)
+                resp["proof_verified"] = verify_compressed_cycle(
+                    pp, compressed)
+                resp["proof_steps"] = proof.n
+            self.result = result
+            self.callable = next_callable
+            self.calls += 1
+            z = s.hash_ptr(next_callable)
+            resp["next_callable"] = {"tag": z.tag,
+                                     "digest": f"{z.digest:x}"}
+            if self.session is not None:
+                self.dump_session(self.session)
+            return resp
+
+    def _dump_ptr(self, ptr: Ptr) -> dict:
+        z_dag = ZDag()
+        z = z_dag.populate_with(ptr, self.store)
+        return {"root": {"tag": z.tag, "digest": f"{z.digest:x}"},
+                "zdag": z_dag.to_json()}
+
+    def dump_session(self, path: Path) -> None:
+        """Session dump incl. the running accumulator (server.rs
+        SessionData::pack_stream + StreamSessionData)."""
+        from .lurk_proof import cycle_snark_to_json
+        s = self.store
+        s.hydrate_z_cache()
+        z_dag = ZDag()
+        cache: dict = {}
+        z_callable = z_dag.populate_with(self.callable, s, cache)
+        z_first = z_dag.populate_with(self.first_callable, s, cache)
+        z_result = (z_dag.populate_with(self.result, s, cache)
+                    if self.result is not None else None)
+        path.write_text(json.dumps({
+            "kind": "stream",
+            "field": s.field.name,
+            "rc": self.rc,
+            "limit": self.limit,
+            "calls": self.calls,
+            "callable": [z_callable.tag, f"{z_callable.digest:x}"],
+            "first_callable": [z_first.tag, f"{z_first.digest:x}"],
+            "result": ([z_result.tag, f"{z_result.digest:x}"]
+                       if z_result else None),
+            "zdag": z_dag.to_json(),
+            "snark": (cycle_snark_to_json(self.snark)
+                      if self.snark is not None else None),
+        }))
+
+    @staticmethod
+    def resume(path: Path, store: Store) -> "StreamState":
+        from .lurk_proof import cycle_snark_from_json
+        from ..proof.prover_cycle import cycle_public_params
+        d = json.loads(path.read_text())
+        assert d.get("kind") == "stream", "not a stream session"
+        assert d["field"] == store.field.name, "session field mismatch"
+        z_dag = ZDag.from_json(d["zdag"])
+        callable_ptr = z_dag.populate_store(
+            ZPtr(d["callable"][0], int(d["callable"][1], 16)), store)
+        state = StreamState(store, callable_ptr, rc=d["rc"],
+                            limit=d["limit"], session=path)
+        state.first_callable = z_dag.populate_store(
+            ZPtr(d["first_callable"][0],
+                 int(d["first_callable"][1], 16)), store)
+        if d["result"] is not None:
+            state.result = z_dag.populate_store(
+                ZPtr(d["result"][0], int(d["result"][1], 16)), store)
+        if d["snark"] is not None:
+            pp = cycle_public_params(store, d["rc"],
+                                     state.prover.step_func(), None)
+            state.pp = pp
+            state.snark = cycle_snark_from_json(d["snark"], pp)
         state.calls = d["calls"]
         return state
 
@@ -197,16 +334,30 @@ def main(argv=None) -> int:
     parser.add_argument("--callable", required=True,
                         help="lurk source for the initial callable")
     parser.add_argument("--resume", type=Path, default=None)
+    parser.add_argument("--stream", action="store_true",
+                        help="paused-stream continuation service with "
+                             "one incremental proof across calls "
+                             "(server.rs StreamService)")
+    parser.add_argument("--session", type=Path, default=None,
+                        help="dump the session here after each call")
     args = parser.parse_args(argv)
     store = Store(FIELDS[args.field])
     if args.resume:
-        state = ChainState.resume(args.resume, store)
+        kind = json.loads(args.resume.read_text()).get("kind")
+        if kind == "stream":
+            state = StreamState.resume(args.resume, store)
+        else:
+            state = ChainState.resume(args.resume, store)
     else:
         repl = Repl(store, rc=args.rc)
         from ..parser import read_with_default_state
         expr = read_with_default_state(store, args.callable)
         out = repl.eval_expr(expr)
-        state = ChainState(store, out[0], rc=args.rc)
+        if args.stream:
+            state = StreamState(store, out[0], rc=args.rc,
+                                session=args.session)
+        else:
+            state = ChainState(store, out[0], rc=args.rc)
     server = serve(state, args.port)
     print(f"chain server listening on 127.0.0.1:{args.port}")
     try:

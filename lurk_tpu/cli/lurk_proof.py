@@ -212,6 +212,50 @@ def _relaxed_wit_from_json(d: dict):
                           [int(v, 16) for v in d["e"]])
 
 
+def cycle_snark_to_json(snark) -> dict:
+    """Live CycleSNARK accumulator -> json (chain-server session dumps:
+    the reference serializes the running RecursiveSNARK itself,
+    chain-server/src/server.rs:427-440 StreamSessionData)."""
+    d = {
+        "z0": [f"{v:x}" for v in snark.z0],
+        "zi": [f"{v:x}" for v in snark.zi],
+        "i": snark.i,
+        "h": f"{snark.h:x}",
+        "g": f"{snark.g:x}",
+        "u1": _relaxed_to_json(snark.U1),
+        "w1": _relaxed_wit_to_json(snark.W1),
+        "u2": _relaxed_to_json(snark.U2),
+        "w2": _relaxed_wit_to_json(snark.W2),
+        "pending": None,
+    }
+    if snark.pending is not None:
+        u, wvec = snark.pending
+        d["pending"] = {"comm_w": _pt(u.comm_w),
+                        "x": [f"{v:x}" for v in u.x],
+                        "w": [f"{v:x}" for v in wvec]}
+    return d
+
+
+def cycle_snark_from_json(d: dict, pp):
+    from ..proof.nova_cycle import CycleSNARK
+    snark = CycleSNARK(pp, [int(v, 16) for v in d["z0"]])
+    snark.zi = [int(v, 16) for v in d["zi"]]
+    snark.i = d["i"]
+    snark.h = int(d["h"], 16)
+    snark.g = int(d["g"], 16)
+    snark.U1 = _relaxed_from_json(d["u1"])
+    snark.W1 = _relaxed_wit_from_json(d["w1"])
+    snark.U2 = _relaxed_from_json(d["u2"])
+    snark.W2 = _relaxed_wit_from_json(d["w2"])
+    if d["pending"] is not None:
+        pend = d["pending"]
+        snark.pending = (
+            R1CSInstance(_un_pt(pend["comm_w"]),
+                         [int(v, 16) for v in pend["x"]]),
+            [int(v, 16) for v in pend["w"]])
+    return snark
+
+
 def cycle_proof_to_json(proof) -> dict:
     """prover_cycle CycleProof (O(1) augmented-circuit IVC) -> json."""
     return {

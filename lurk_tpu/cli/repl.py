@@ -43,15 +43,15 @@ class ReplError(Exception):
 
 class Repl:
     def __init__(self, store: Store, rc: int = 10, limit: int = 100_000_000,
-                 backend: str = "supernova", compress: bool = False):
+                 backend: str = "supernova-cycle",
+                 compress: bool = True):
         self.store = store
         self.state = State.init_lurk_state()
         self.rc = rc
         self.limit = limit
         self.backend = backend
-        # the reference always compresses before persisting
-        # (repl/mod.rs:263-409 -> nova.rs:331); opt-in here because the
-        # Spartan/IPA pass adds minutes on the 16k-row lurk circuit
+        # reference parity: always compress before persisting
+        # (repl/mod.rs:263-409 -> nova.rs:331); --no-compress opts out
         self.compress = compress
         self.env = store.intern_empty_env()
         self.evaluation: Optional[Evaluation] = None

@@ -50,7 +50,7 @@ class Settings:
     rc: int = 10
     limit: int = 100_000_000
     field: str = "bn256"
-    backend: str = "supernova"
+    backend: str = "supernova-cycle"
     cache_dir: str = dataclasses.field(
         default_factory=lambda: os.path.join(os.path.expanduser("~"),
                                              ".lurk_tpu"))
@@ -93,7 +93,7 @@ def load_settings(overrides: Optional[dict] = None) -> Settings:
         rc=pick("rc", 10, int),
         limit=pick("limit", 100_000_000, int),
         field=pick("field", "bn256", str),
-        backend=pick("backend", "supernova", str),
+        backend=pick("backend", "supernova-cycle", str),
         cache_dir=pick("cache_dir",
                        os.path.join(os.path.expanduser("~"), ".lurk_tpu"),
                        str),

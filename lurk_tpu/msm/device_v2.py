@@ -57,11 +57,17 @@ DEFAULT_C = 16
 
 
 def _cfg(c_bits: int):
-    """(n_win, n_buckets, group_g, groups) for a window width."""
-    assert c_bits in (8, 16)
+    """(n_win, n_buckets, group_g, groups) for a window width.
+
+    c=16: 16 windows, 2^15 signed buckets (big 138 MB table, fewest
+    scan madds); c=12: 22 windows, 2^11 buckets (12 MB table — the
+    in-scan scatter and the bucket reduction get ~16x smaller for
+    +37% scan madds); c=8: 32 windows (CPU-test size)."""
+    assert c_bits in (8, 12, 16)
+    n_win = -(-256 // c_bits)
     n_buckets = 1 << (c_bits - 1)
-    g = 64 if c_bits == 16 else 16
-    return 256 // c_bits, n_buckets, g, n_buckets // g
+    g = {8: 16, 12: 16, 16: 64}[c_bits]
+    return n_win, n_buckets, g, n_buckets // g
 
 
 # ---------------------------------------------------------------------------
@@ -75,8 +81,13 @@ def signed_digits(scalars: Sequence[int], order: int, c_bits: int):
     n_win, _, _, _ = _cfg(c_bits)
     n = len(scalars)
     buf = fastpack.pack_ints([int(s) % order for s in scalars])
-    dt = "<u2" if c_bits == 16 else np.uint8
-    raw = np.frombuffer(buf, dtype=dt).reshape(n, n_win).astype(np.int32)
+    if c_bits == 12:
+        raw = _digits12(np.frombuffer(buf, dtype=np.uint8)
+                        .reshape(n, 32))
+    else:
+        dt = "<u2" if c_bits == 16 else np.uint8
+        raw = np.frombuffer(buf, dtype=dt).reshape(n, n_win) \
+            .astype(np.int32)
     buckets = np.zeros((n_win, n), dtype=np.int32)
     negidx = np.zeros((n_win, n), dtype=np.int32)
     idx2 = np.arange(n, dtype=np.int32) << 1
@@ -91,6 +102,22 @@ def signed_digits(scalars: Sequence[int], order: int, c_bits: int):
         negidx[w] = idx2 | (dd < 0)
     assert not carry.any(), "scalar exceeded the window budget"
     return buckets, negidx
+
+
+def _digits12(bytes_le: np.ndarray) -> np.ndarray:
+    """[n, 32] uint8 LE -> [n, 22] int32 12-bit digits (top window is
+    the 4 bits 252..255; scalars < 2^256)."""
+    b = bytes_le.astype(np.int32)
+    cols = []
+    for w in range(22):
+        off = 12 * w
+        byte, sh = off // 8, off % 8
+        if byte + 1 < 32:
+            d = (b[:, byte] >> sh) | (b[:, byte + 1] << (8 - sh))
+        else:
+            d = b[:, byte] >> sh
+        cols.append(d & 0xFFF)
+    return np.stack(cols, axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -304,8 +331,13 @@ def _msm_kernel(curve: Curve, lanes_w: int, c_bits: int,
 
     lc = jax.lax.fori_loop(0, c_bits * (n_win - 1), ladder,
                            _carry(per_win))
-    fin_rows = _tree_sum_flat(
-        curve, _flat(E.assume_pt(curve, *lc)), 1, n_win)
+    win_rows = _flat(E.assume_pt(curve, *lc))
+    n_win_pad = 1 << (n_win - 1).bit_length()
+    if n_win_pad != n_win:
+        win_rows = jnp.concatenate(
+            [win_rows, jnp.asarray(_ident_rows(curve,
+                                               n_win_pad - n_win))])
+    fin_rows = _tree_sum_flat(curve, win_rows, 1, n_win_pad)
     return fin_rows
 
 

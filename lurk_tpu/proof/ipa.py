@@ -58,7 +58,15 @@ def prove(curve: Curve, gens: Sequence[Affine], comm: Affine,
           a: Sequence[int], b: Sequence[int], c: int,
           tr: Transcript) -> IpaProof:
     """Open <a, b> = c against P = <a, gens>. len(a) must be a power of
-    two (pad with zeros; Pedersen prefix property keeps P unchanged)."""
+    two (pad with zeros; Pedersen prefix property keeps P unchanged).
+
+    The generator vector is NEVER materialized in folded form (that
+    would cost n EC two-scalar muls): folding is linear, so each
+    round's L = <a_lo, G_hi^(k)> is computed as one MSM over the
+    ORIGINAL generators. After k rounds the basis gens[j] contributes
+    to folded position j mod L_k with the challenge-tensor coefficient
+    w_j = prod_t u_t^{±1} (sign by bit t of j) — the same tensor the
+    verifier uses for G_final."""
     q = curve.order
     n = len(a)
     assert n and (n & (n - 1)) == 0 and len(b) == n and len(gens) >= n
@@ -69,18 +77,37 @@ def prove(curve: Curve, gens: Sequence[Affine], comm: Affine,
     big_u = curve.mul(x, u_gen)
     a = [v % q for v in a]
     b = [v % q for v in b]
-    g = list(gens[:n])
+    from ..native import msm as nmsm
+    packed = None
+    if n >= 64 and nmsm.available():
+        packed = nmsm.pack_points(list(gens[:n]))
+
+    def basis_msm(scalars):
+        if packed is not None:
+            return nmsm.msm_packed(curve, scalars, packed)
+        return curve.pippenger(scalars, list(gens[:n]))
+
+    w = [1] * n                       # gens[j] coefficient in folded G
+    cur = n                           # current folded length L_k
     ls: List[Affine] = []
     rs: List[Affine] = []
-    while len(a) > 1:
-        half = len(a) // 2
+    while cur > 1:
+        half = cur // 2
         a_lo, a_hi = a[:half], a[half:]
         b_lo, b_hi = b[:half], b[half:]
-        g_lo, g_hi = g[:half], g[half:]
         cl = sum(x * y for x, y in zip(a_lo, b_hi)) % q
         cr = sum(x * y for x, y in zip(a_hi, b_lo)) % q
-        l_pt = curve.add(curve.pippenger(a_lo, g_hi), curve.mul(cl, big_u))
-        r_pt = curve.add(curve.pippenger(a_hi, g_lo), curve.mul(cr, big_u))
+        # L = <a_lo, G_hi>, R = <a_hi, G_lo> over the original basis
+        scal_l = [0] * n
+        scal_r = [0] * n
+        for j in range(n):
+            pos = j % cur
+            if pos >= half:
+                scal_l[j] = a_lo[pos - half] * w[j] % q
+            else:
+                scal_r[j] = a_hi[pos] * w[j] % q
+        l_pt = curve.add(basis_msm(scal_l), curve.mul(cl, big_u))
+        r_pt = curve.add(basis_msm(scal_r), curve.mul(cr, big_u))
         ls.append(l_pt)
         rs.append(r_pt)
         tr.absorb_point(l_pt)
@@ -89,8 +116,9 @@ def prove(curve: Curve, gens: Sequence[Affine], comm: Affine,
         u_inv = pow(u, -1, q)
         a = _fold_scalars(a, u, u_inv, q, lo_coeff_is_u=True)
         b = _fold_scalars(b, u, u_inv, q, lo_coeff_is_u=False)
-        g = [curve.add(curve.mul(u_inv, g_lo[i]), curve.mul(u, g_hi[i]))
-             for i in range(half)]
+        for j in range(n):
+            w[j] = w[j] * (u if (j % cur) >= half else u_inv) % q
+        cur = half
     return IpaProof(ls, rs, a[0])
 
 

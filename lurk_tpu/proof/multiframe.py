@@ -38,6 +38,11 @@ def pad_frames(frames: List[Frame], lurk_step: ir.Func, rc: int,
     lang = lang or Lang()
     channel = channel or dummy_channel()
     last_out = frames[-1].output
+    from ..tags import ContTag
+    if last_out[2].tag == ContTag.StreamPause:
+        # a paused stream stutters when the channel says so
+        # (multiframe.rs:717-740 pad via the stutter flag)
+        channel.feed(store.intern_t())
     pad_frame, _ = compute_frame(lurk_step, [], list(last_out), store,
                                  lang, channel, 0)
     assert pad_frame.output == pad_frame.input, \

@@ -109,20 +109,43 @@ class CycleNovaProver:
         return pp, proof, frames
 
     @_trace_instrument("nova_cycle.prove_from_frames")
-    def prove_from_frames(self, store: Store, frames: List[Frame]
+    def prove_from_frames(self, store: Store, frames: List[Frame],
+                          init: Optional[CycleSNARK] = None
                           ) -> Tuple[CyclePublicParams, CycleProof]:
+        pp, snark = self.prove_incremental(store, frames, init)
+        return pp, snark.finish()
+
+    def prove_incremental(self, store: Store, frames: List[Frame],
+                          init: Optional[CycleSNARK] = None
+                          ) -> Tuple[CyclePublicParams, CycleSNARK]:
+        """Fold `frames` into a (possibly pre-existing) running
+        RecursiveSNARK and return it live, so a caller can keep folding
+        later frames into the same accumulator (the reference's
+        resumable-prove `init: Option<BaseRecursiveSNARK>`,
+        proof/mod.rs:185-187; chain-server carries it across RPCs,
+        chain-server/src/server.rs:445-548). `snark.finish()` is
+        non-destructive: callers may emit a proof per increment."""
         assert frames
         store.hydrate_z_cache()
         step = self.step_func()
         mframes = MultiFrame.from_frames(frames, self.rc, step, store,
                                          self.lang)
         pp = cycle_public_params(store, self.rc, step, self.lang)
-        snark = CycleSNARK(pp, mframes[0].z_in)
+        if init is None:
+            snark = CycleSNARK(pp, mframes[0].z_in)
+        else:
+            snark = init
+            assert snark.pp is pp or \
+                snark.pp.pp_digest == pp.pp_digest, \
+                "resumed snark belongs to different public params"
+            assert list(snark.zi) == [v % pp.field1.modulus
+                                      for v in mframes[0].z_in], \
+                "resumed snark state does not chain into these frames"
         caches = self._step_witness_caches(pp, mframes, store)
         for mf, cache in zip(mframes, caches):
             snark.prove_step(mf.z_out, step_aux=(mf.frames, store),
                              check=self.check_steps, step_cache=cache)
-        return pp, snark.finish()
+        return pp, snark
 
     def _step_witness_caches(self, pp, mframes, store):
         """Witness-gen ∥ folding (reference src/proof/nova.rs:297-332):

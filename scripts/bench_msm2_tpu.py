@@ -7,7 +7,7 @@ from lurk_tpu.msm.device_v2 import MsmTable
 from lurk_tpu.curves.weierstrass import PALLAS, BN254_G1
 from lurk_tpu.native import msm as nmsm
 
-def run(curve, n_log2, lanes_w=512, reps=3):
+def run(curve, n_log2, lanes_w=512, reps=3, c_bits=16):
     n = 1 << n_log2
     r = random.Random(7)
     # synthetic points: random multiples of G (host mul too slow for 2^20;
@@ -25,15 +25,15 @@ def run(curve, n_log2, lanes_w=512, reps=3):
     tab = MsmTable.build(curve, pts)
     print(f"{curve.name} 2^{n_log2}: table build+upload {time.perf_counter()-t0:.2f}s", flush=True)
     t0 = time.perf_counter()
-    got = tab.msm(scalars, lanes_w=lanes_w)
+    got = tab.msm(scalars, lanes_w=lanes_w, c_bits=c_bits)
     print(f"  first call (compile): {time.perf_counter()-t0:.1f}s", flush=True)
     times = []
     for _ in range(reps):
         scalars = [r.randrange(curve.order) for _ in range(n)]
         t0 = time.perf_counter()
-        got = tab.msm(scalars, lanes_w=lanes_w)
+        got = tab.msm(scalars, lanes_w=lanes_w, c_bits=c_bits)
         times.append(time.perf_counter() - t0)
-    print(f"  device msm warm: {min(times):.3f}s  (lanes_w={lanes_w})", flush=True)
+    print(f"  device msm warm: {min(times):.3f}s  (lanes_w={lanes_w} c={c_bits})", flush=True)
     # native host comparison + parity
     packed = nmsm.pack_points(pts)
     t0 = time.perf_counter()
@@ -42,6 +42,8 @@ def run(curve, n_log2, lanes_w=512, reps=3):
     print(f"  native host msm: {th:.3f}s  speedup {th/min(times):.2f}x  parity={'OK' if got == want else 'FAIL'}", flush=True)
 
 if __name__ == "__main__":
+    import os
+    c_bits = int(os.environ.get("MSM_C", "16"))
     nl = [int(x) for x in sys.argv[1:]] or [16, 18, 20]
     for n_log2 in nl:
-        run(BN254_G1, n_log2)
+        run(BN254_G1, n_log2, c_bits=c_bits)

@@ -49,6 +49,42 @@ def test_chain_state_chains(store, tmp_path, monkeypatch):
     assert int(r3["result"]["root"]["digest"], 16) == 12
 
 
+def test_stream_service_incremental(store, tmp_path, monkeypatch):
+    """StreamService parity (server.rs:227-440): 3 chained calls extend
+    ONE RecursiveSNARK; the session (incl. the accumulator) survives a
+    server restart and the resumed proof still covers every call."""
+    monkeypatch.setenv("LURK_TPU_CACHE", str(tmp_path))
+    from lurk_tpu.cli.chain_server import StreamState
+    from lurk_tpu.proof import prover_cycle as pcy
+
+    sess = tmp_path / "stream_session.json"
+    state = StreamState(store, _mk_counter_callable(store), rc=4,
+                        limit=1000, session=sess)
+    r1 = state.chain(store.num(3))
+    assert r1["proof_verified"] and r1["calls"] == 1
+    assert int(r1["result"]["root"]["digest"], 16) == 3
+    r2 = state.chain(store.num(4))
+    assert r2["proof_verified"] and r2["calls"] == 2
+    assert int(r2["result"]["root"]["digest"], 16) == 7
+    # ONE proof covers both calls: the accumulator step count grows
+    assert r2["proof_steps"] > r1["proof_steps"]
+    r3 = state.chain(store.num(5))
+    assert int(r3["result"]["root"]["digest"], 16) == 12
+    assert r3["proof_steps"] > r2["proof_steps"]
+
+    # kill the server; resume from the session dump in a FRESH store
+    store2 = Store(BN256_SCALAR, use_device=False)
+    state2 = StreamState.resume(sess, store2)
+    assert state2.calls == 3
+    r4 = state2.chain(store2.num(10))
+    assert r4["proof_verified"]
+    assert int(r4["result"]["root"]["digest"], 16) == 22
+    assert r4["proof_steps"] > r3["proof_steps"]
+    # the final incremental proof verifies under the cycle verifier
+    proof = state2.snark.finish()
+    assert pcy.CycleNovaProver.verify(state2.pp, proof)
+
+
 def test_http_endpoints(store, tmp_path, monkeypatch):
     monkeypatch.setenv("LURK_TPU_CACHE", str(tmp_path))
     state = ChainState(store, _mk_counter_callable(store), limit=1000)

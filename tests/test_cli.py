@@ -33,6 +33,9 @@ def test_load_demo_simple(tmp_path):
 
 
 def test_prove_verify_roundtrip(tmp_path):
+    """Default path pins the succinct cycle backend + compression
+    (reference always proves+compresses+verifies, repl/mod.rs:303-401;
+    default backend cli/mod.rs:85-99)."""
     src = tmp_path / "t.lurk"
     src.write_text("!(prove (+ 1 2))\n")
     r = run_cli(["load", str(src), "--rc", "2", "--limit", "1000"],
@@ -41,6 +44,10 @@ def test_prove_verify_roundtrip(tmp_path):
     m = re.search(r'Proof key: "([^"]+)"', r.stdout)
     assert m, r.stdout
     proof_key = m.group(1)
+    assert proof_key.startswith("supernova-cycle_bn256_2_")
+    proof_file = (tmp_path / "cache" / "proofs"
+                  / f"{proof_key}.proof.json")
+    assert json.loads(proof_file.read_text())["kind"] == "compressed"
     r2 = run_cli(["verify", proof_key, "--rc", "2"], tmp_path)
     assert r2.returncode == 0, r2.stderr + r2.stdout
     assert "Proof verified" in r2.stdout

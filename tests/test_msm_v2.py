@@ -89,11 +89,13 @@ def test_signed_digits_reconstruct():
         assert v % order == s % order
 
 
+@pytest.mark.parametrize("c_bits", [8, 12])
 @pytest.mark.parametrize("case", ["random", "skewed", "equal", "single"])
-def test_msm_v2_matches_host(case):
-    """End-to-end device kernel vs Curve.pippenger on the 8-bit window
-    configuration (small shapes compile quickly on the CPU mesh); the
-    16-bit TPU configuration differs only in table geometry."""
+def test_msm_v2_matches_host(case, c_bits):
+    """End-to-end device kernel vs Curve.pippenger on the 8- and
+    12-bit window configurations (small shapes compile quickly on the
+    CPU mesh); the 16-bit TPU configuration differs only in table
+    geometry."""
     curve = PALLAS
     n = 128
     r = random.Random(7)
@@ -108,5 +110,5 @@ def test_msm_v2_matches_host(case):
     else:
         scalars = [0] * (n - 1) + [9]
     tab = MsmTable.build(curve, pts)
-    got = tab.msm(scalars, lanes_w=8, c_bits=8)
+    got = tab.msm(scalars, lanes_w=8, c_bits=c_bits)
     assert got == curve.pippenger(list(scalars), pts)
