@@ -107,29 +107,50 @@ def _spartan_to_json(sp) -> dict:
         return {"ls": [_pt(q) for q in pr.ls],
                 "rs": [_pt(q) for q in pr.rs],
                 "a": f"{pr.a_final:x}"}
-    return {
+
+    def hkzg(pr):
+        return {"comms": [_pt(q) for q in pr.comms],
+                "evals": [[f"{v:x}" for v in ev] for ev in pr.evals],
+                "quotients": [_pt(q) for q in pr.quotients]}
+    out = {
         "sc1": [[f"{v:x}" for v in row] for row in sp.sc1_polys],
         "claims": [f"{v:x}" for v in sp.claims],
         "sc2": [[f"{v:x}" for v in row] for row in sp.sc2_polys],
         "w_eval": f"{sp.w_eval:x}",
-        "ipa_w": ipa(sp.ipa_w),
-        "ipa_e": ipa(sp.ipa_e),
     }
+    if sp.hkzg_w is not None:
+        out["hkzg_w"] = hkzg(sp.hkzg_w)
+        out["hkzg_e"] = hkzg(sp.hkzg_e)
+    else:
+        out["ipa_w"] = ipa(sp.ipa_w)
+        out["ipa_e"] = ipa(sp.ipa_e)
+    return out
 
 
 def _spartan_from_json(d: dict):
     from ..proof.ipa import IpaProof
+    from ..proof.hyperkzg import HkzgProof
     from ..proof.spartan import SpartanProof
 
     def ipa(v):
         return IpaProof([_un_pt(q) for q in v["ls"]],
                         [_un_pt(q) for q in v["rs"]],
                         int(v["a"], 16))
-    return SpartanProof(
+
+    def hkzg(v):
+        return HkzgProof([_un_pt(q) for q in v["comms"]],
+                         [tuple(int(x, 16) for x in ev)
+                          for ev in v["evals"]],
+                         [_un_pt(q) for q in v["quotients"]])
+    base = [
         [[int(v, 16) for v in row] for row in d["sc1"]],
         tuple(int(v, 16) for v in d["claims"]),
         [[int(v, 16) for v in row] for row in d["sc2"]],
-        int(d["w_eval"], 16), ipa(d["ipa_w"]), ipa(d["ipa_e"]))
+        int(d["w_eval"], 16)]
+    if "hkzg_w" in d:
+        return SpartanProof(*base, None, None,
+                            hkzg(d["hkzg_w"]), hkzg(d["hkzg_e"]))
+    return SpartanProof(*base, ipa(d["ipa_w"]), ipa(d["ipa_e"]))
 
 
 def compressed_proof_to_json(proof) -> dict:

@@ -1,0 +1,267 @@
+"""HyperKZG multilinear polynomial-commitment engine over BN254.
+
+The reference's default BN256 engine is `Bn256EngineKZG` whose
+evaluation engine is HyperKZG (/root/reference/src/proof/nova.rs:56-71;
+arecibo provider::hyperkzg): commitments are MSMs over a univariate
+powers-of-tau SRS, and a multilinear evaluation claim is reduced to
+univariate KZG openings through the Gemini even/odd folding trick —
+O(log n) proof size, pairing-based verification, no per-proof
+linear-time verifier work (unlike IPA).
+
+Protocol (prove W~(x) = v for W committed as C = <W, [tau^i]_1>):
+  1. Fold LSB-first: v_0 = W; v_{i+1}[j] = (1-x_i) v_i[2j] + x_i
+     v_i[2j+1] (x_i binds the i-th lowest index bit). Commit
+     v_1..v_{k-1}.
+  2. Challenge r. Open every v_i at {r, -r, r^2}. The even/odd
+     univariate split makes the fold verifiable from evaluations:
+     v_{i+1}(r^2) = (1-x_i)(v_i(r)+v_i(-r))/2
+                  + x_i  (v_i(r)-v_i(-r))/(2r),
+     and for i = k-1 the right-hand side must equal the claimed v.
+  3. Batch the 3k openings: gamma-RLC per point, one KZG quotient per
+     point, then a delta-RLC across the three points into a single
+     two-pairing check:
+       e(sum_j d_j (C_Bj - [B_j(z_j)]_1 + z_j W_j), [1]_2)
+         == e(sum_j d_j W_j, [tau]_2).
+
+SRS: tau is derived from shake256 and used transiently to compute
+[tau^i]_1 / [tau]_2, then discarded — a DEV SRS, functionally faithful
+but not a trusted-setup ceremony (the reference's own test/bench params
+are generated the same way; a production deployment would import a
+ceremony transcript). Cached on disk like the Pedersen generators.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from typing import List, Optional, Sequence, Tuple
+
+from ..curves import pairing as pr
+from ..curves.weierstrass import BN254_G1, Affine, Curve
+from .transcript import Transcript
+
+CURVE = BN254_G1
+_TAU_LABEL = b"lurk_tpu.hyperkzg.tau.v1"
+
+
+def _tau() -> int:
+    """The dev-SRS toxic waste (see module docstring)."""
+    d = hashlib.shake_256(_TAU_LABEL).digest(48)
+    return int.from_bytes(d, "little") % CURVE.order
+
+
+# ---------------------------------------------------------------------------
+# SRS
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Srs:
+    powers: List[Affine]            # [tau^i]_1, i < n
+    g2: pr.G2Point                  # [1]_2
+    tau_g2: pr.G2Point              # [tau]_2
+
+
+def _fixed_base_mul_table(gen: Affine, c: int = 8):
+    """Window table for fast fixed-base scalar muls."""
+    curve = CURVE
+    n_win = (curve.scalar.num_bits + c - 1) // c
+    table = []
+    base = curve.jac_from_affine(gen)
+    for _ in range(n_win):
+        row = [(0, 1, 0)]
+        acc = (0, 1, 0)
+        for _ in range((1 << c) - 1):
+            acc = curve.jac_add(acc, base)
+            row.append(acc)
+        table.append(row)
+        for _ in range(c):
+            base = curve.jac_double(base)
+    return table, c
+
+
+def _fixed_base_mul(table, c: int, k: int) -> Affine:
+    curve = CURVE
+    acc = (0, 1, 0)
+    w = 0
+    mask = (1 << c) - 1
+    while k:
+        d = k & mask
+        if d:
+            acc = curve.jac_add(acc, table[w][d])
+        k >>= c
+        w += 1
+    return curve.jac_to_affine(acc)
+
+
+def load_srs(n: int) -> Srs:
+    """Powers-of-tau SRS, grown and cached on disk."""
+    import fcntl
+    from .params_cache import (_atomic_write, _gens_from_bytes,
+                               _gens_to_bytes, cache_dir)
+    key = "hyperkzg_srs_bn254"
+    path = cache_dir() / f"{key}.bin"
+    meta_path = cache_dir() / f"{key}.json"
+    lock_path = cache_dir() / f"{key}.lock"
+    tau = _tau()
+    with open(lock_path, "w") as lock_f:
+        fcntl.flock(lock_f, fcntl.LOCK_EX)
+        powers: List[Affine] = []
+        if path.exists() and meta_path.exists():
+            have = json.loads(meta_path.read_text())["n"]
+            if have >= n:
+                powers = _gens_from_bytes(path.read_bytes(), n)
+            else:
+                powers = _gens_from_bytes(path.read_bytes(), have)
+        if len(powers) < n:
+            table, c = _fixed_base_mul_table(CURVE.generator)
+            t_pow = pow(tau, len(powers), CURVE.order)
+            for _ in range(len(powers), n):
+                powers.append(_fixed_base_mul(table, c, t_pow))
+                t_pow = t_pow * tau % CURVE.order
+            _atomic_write(path, _gens_to_bytes(powers))
+            _atomic_write(meta_path,
+                          json.dumps({"n": len(powers)}).encode())
+    return Srs(powers, pr.G2_GEN, pr.g2_mul(tau, pr.G2_GEN))
+
+
+# ---------------------------------------------------------------------------
+# univariate KZG helpers
+# ---------------------------------------------------------------------------
+
+
+def _msm(scalars: Sequence[int], points: Sequence[Affine]) -> Affine:
+    from ..native import msm as nmsm
+    scalars = list(scalars)
+    pts = list(points[:len(scalars)])
+    if len(scalars) >= 64 and nmsm.available():
+        return nmsm.msm(CURVE, scalars, pts)
+    return CURVE.pippenger(scalars, pts)
+
+
+def _poly_eval(coeffs: Sequence[int], z: int, q: int) -> int:
+    acc = 0
+    for c in reversed(coeffs):
+        acc = (acc * z + c) % q
+    return acc
+
+
+def _quotient(coeffs: Sequence[int], z: int, q: int) -> List[int]:
+    """(p(X) - p(z)) / (X - z), synthetic division."""
+    out = [0] * (len(coeffs) - 1)
+    acc = 0
+    for i in range(len(coeffs) - 1, 0, -1):
+        acc = (acc * z + coeffs[i]) % q
+        out[i - 1] = acc
+    return out
+
+
+# ---------------------------------------------------------------------------
+# HyperKZG prove / verify
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class HkzgProof:
+    comms: List[Affine]             # commitments to v_1..v_{k-1}
+    evals: List[Tuple[int, int, int]]   # (v_i(r), v_i(-r), v_i(r^2))
+    quotients: List[Affine]         # W_r, W_{-r}, W_{r^2}
+
+
+def prove(srs: Srs, poly: Sequence[int], point: Sequence[int],
+          tr: Transcript) -> HkzgProof:
+    """Open the MLE of `poly` (evaluations, length 2^k) at `point`
+    (mle.mle_eval convention: point[0] binds the TOP index bit)."""
+    q = CURVE.order
+    n = len(poly)
+    k = n.bit_length() - 1
+    assert n == 1 << k and len(point) == k
+    xs = [v % q for v in reversed(point)]    # LSB-first binding
+    polys = [[v % q for v in poly]]
+    for i in range(k - 1):
+        prev = polys[-1]
+        x = xs[i]
+        polys.append([(prev[2 * j] + x * (prev[2 * j + 1] - prev[2 * j]))
+                      % q for j in range(len(prev) // 2)])
+    comms = [_msm(pl, srs.powers) for pl in polys[1:]]
+    for cm in comms:
+        tr.absorb_point(cm)
+    r = tr.squeeze() % q or 1
+    zs = (r, (-r) % q, r * r % q)
+    evals = [tuple(_poly_eval(pl, z, q) for z in zs) for pl in polys]
+    for ev in evals:
+        for v in ev:
+            tr.absorb_scalar(v)
+    gamma = tr.squeeze() % q
+    quotients = []
+    for j, z in enumerate(zs):
+        batched = [0] * n
+        g = 1
+        for pl in polys:
+            for i, c in enumerate(pl):
+                batched[i] = (batched[i] + g * c) % q
+            g = g * gamma % q
+        quotients.append(_msm(_quotient(batched, z, q), srs.powers))
+    for w in quotients:
+        tr.absorb_point(w)             # delta must bind the quotients
+    tr.squeeze()                       # keep state aligned with verify
+    return HkzgProof(comms, evals, quotients)
+
+
+def verify(srs: Srs, comm: Affine, point: Sequence[int], value: int,
+           proof: HkzgProof, tr: Transcript) -> bool:
+    q = CURVE.order
+    k = len(point)
+    if len(proof.comms) != k - 1 or len(proof.evals) != k or \
+            len(proof.quotients) != 3:
+        return False
+    xs = [v % q for v in reversed(point)]
+    for cm in proof.comms:
+        tr.absorb_point(cm)
+    r = tr.squeeze() % q or 1
+    zs = (r, (-r) % q, r * r % q)
+    for ev in proof.evals:
+        if len(ev) != 3:
+            return False
+        for v in ev:
+            tr.absorb_scalar(v)
+    gamma = tr.squeeze() % q
+    for w in proof.quotients:
+        tr.absorb_point(w)
+    # fold-consistency chain at r^2
+    inv2 = pow(2, q - 2, q)
+    inv2r = pow(2 * r % q, q - 2, q)
+    for i in range(k):
+        er, enr, _ = proof.evals[i]
+        nxt = ((1 - xs[i]) * (er + enr) % q * inv2 +
+               xs[i] * (er - enr) % q * inv2r) % q
+        want = proof.evals[i + 1][2] if i + 1 < k else value % q
+        if nxt != want:
+            return False
+    # batched KZG check across the three points
+    delta = tr.squeeze() % q
+    all_comms = [comm] + list(proof.comms)
+    agg_c: Affine = None
+    agg_w: Affine = None
+    d = 1
+    for j, z in enumerate(zs):
+        # C_B = sum_i gamma^i C_i ; B(z) = sum_i gamma^i evals[i][j]
+        g = 1
+        cb: Affine = None
+        bz = 0
+        for i, cm in enumerate(all_comms):
+            cb = CURVE.add(cb, CURVE.mul(g, cm))
+            bz = (bz + g * proof.evals[i][j]) % q
+            g = g * gamma % q
+        wj = proof.quotients[j]
+        # d_j * (C_B - [bz]_1 + z W_j)
+        term = CURVE.add(cb, CURVE.neg(CURVE.mul(bz, CURVE.generator)))
+        term = CURVE.add(term, CURVE.mul(z, wj))
+        agg_c = CURVE.add(agg_c, CURVE.mul(d, term))
+        agg_w = CURVE.add(agg_w, CURVE.mul(d, wj))
+        d = d * delta % q
+    return pr.pairing_product_is_one([
+        (agg_c, srs.g2),
+        (CURVE.neg(agg_w) if agg_w else None, srs.tau_g2),
+    ])

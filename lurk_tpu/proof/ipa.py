@@ -3,9 +3,10 @@
 Functionality parity target: arecibo's `provider::ipa_pc::
 EvaluationEngine` — the PCS used by the reference's Pallas/Vesta
 CompressedSNARK (/root/reference/src/proof/nova.rs:56-60 wires
-`EvaluationEngine<E>` as EE1/EE2). The reference uses HyperKZG for
-BN256; we use IPA uniformly (documented deviation: IPA needs no trusted
-setup and works over any of our cycle curves; proofs stay log-size).
+`EvaluationEngine<E>` as EE1/EE2). Engine wiring matches the
+reference: BN256 proofs open through HyperKZG (proof/hyperkzg.py,
+pairing-verified); IPA serves the pasta curves and the grumpkin
+secondary (which have no pairing).
 
 Protocol (Bulletproofs-style, no zero-knowledge blinding — matching the
 reference, whose Nova instantiation is also non-hiding): prove

@@ -75,6 +75,16 @@ class CommitmentKey:
 
     @staticmethod
     def setup(curve: Curve, label: bytes, n: int) -> "CommitmentKey":
+        """Generator basis for Pedersen vector commitments.
+
+        BN254 G1 uses the HyperKZG powers-of-tau SRS as its basis
+        (reference parity: Bn256EngineKZG's CommitmentEngine IS the
+        KZG engine, nova.rs:56-71 — commitments are then openable with
+        pairings by proof/hyperkzg.py). Other curves (no pairing) use
+        hash-derived generators + IPA."""
+        if curve.name == "bn254-g1":
+            from .hyperkzg import load_srs
+            return CommitmentKey(curve, load_srs(n).powers)
         from .params_cache import load_generators
         return CommitmentKey(curve, load_generators(curve, label, n))
 

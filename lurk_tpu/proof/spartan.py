@@ -53,8 +53,16 @@ class SpartanProof:
     claims: Tuple[int, int, int, int]  # Az~, Bz~, Cz~, E~ at rx
     sc2_polys: List[List[int]]       # log 2N rounds of 3 evals
     w_eval: int                      # W~(ry[1:])
-    ipa_w: ipa.IpaProof
-    ipa_e: ipa.IpaProof
+    ipa_w: Optional[ipa.IpaProof]
+    ipa_e: Optional[ipa.IpaProof]
+    # BN254's engine (nova.rs:56-71 Bn256EngineKZG): pairing-verified
+    # HyperKZG openings instead of IPA
+    hkzg_w: Optional[object] = None
+    hkzg_e: Optional[object] = None
+
+
+def _uses_kzg(pp: PublicParams) -> bool:
+    return pp.curve.name == "bn254-g1"
 
 
 def _dims(shape: R1CSShape) -> Tuple[int, int]:
@@ -154,6 +162,14 @@ def prove(pp: PublicParams, inst: RelaxedInstance,
     w_eval = mle_eval(w_padded, ry[1:], p)
     tr.absorb_scalar(w_eval)
 
+    if _uses_kzg(pp):
+        from . import hyperkzg as hk
+        srs = hk.load_srs(max(n_half, m_pad))
+        hkzg_w = hk.prove(srs, w_padded, ry[1:], tr)
+        hkzg_e = hk.prove(srs, e_vec, rx, tr)
+        return SpartanProof(sc1_polys, (az_r, bz_r, cz_r, e_r),
+                            sc2_polys, w_eval, None, None,
+                            hkzg_w, hkzg_e)
     ipa_w = ipa.prove(pp.curve, pp.ck.gens, inst.comm_w, w_padded,
                       chi_table(ry[1:], p), w_eval, tr)
     ipa_e = ipa.prove(pp.curve, pp.ck.gens, inst.comm_e, e_vec,
@@ -216,6 +232,19 @@ def verify(pp: PublicParams, inst: RelaxedInstance,
     if e2 != m_eval * z_eval % p:
         return False
     tr.absorb_scalar(w_eval)
+    if _uses_kzg(pp):
+        from . import hyperkzg as hk
+        if proof.hkzg_w is None or proof.hkzg_e is None:
+            return False
+        srs = hk.load_srs(max(n_half, m_pad))
+        if not hk.verify(srs, inst.comm_w, ry[1:], w_eval,
+                         proof.hkzg_w, tr):
+            return False
+        if not hk.verify(srs, inst.comm_e, rx, e_r, proof.hkzg_e, tr):
+            return False
+        return True
+    if proof.ipa_w is None or proof.ipa_e is None:
+        return False
     if not ipa.verify(pp.curve, pp.ck.gens, inst.comm_w, chi_ry1,
                       w_eval, proof.ipa_w, tr):
         return False

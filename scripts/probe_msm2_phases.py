@@ -199,3 +199,86 @@ for with_table in (True, False):
     fn = make_scan_flush(512, with_table)
     timeit(fn, tab.rows, db, dv,
            label=f"scan+flush with_table={with_table}", fresh=2)
+
+
+# 5. tail phases only (bucket reduction + trees + ladder + window
+#    combine), fed a synthetic bucket table with in-range limbs.
+from lurk_tpu.msm.device_v2 import _tree_sum_flat
+
+
+def make_tail(c_bits):
+    from lurk_tpu.msm.device_v2 import _cfg
+    n_win, n_buckets, group_g, groups = _cfg(c_bits)
+    stride = n_buckets + 1
+    table_rows = n_win * stride
+    L = F.L
+
+    @jax.jit
+    def tail(btab):
+        slab = btab.reshape(n_win, stride, 66)[:, 1:1 + n_buckets]
+        slab = slab.reshape(n_win, groups, group_g, 66) \
+            .transpose(2, 0, 1, 3).reshape(group_g, n_win * groups, 66)
+        gident = E.identity(ctx, n_win * groups)
+
+        def red_step(carry, rows):
+            rx, ry, rz, tx, ty, tz = carry
+            from lurk_tpu.msm.device_v2 import _unflat
+            run = E.ec_add(ctx, E.assume_pt(curve, rx, ry, rz),
+                           _unflat(curve, rows))
+            tot = E.ec_add(ctx, E.assume_pt(curve, tx, ty, tz), run)
+            return (*_carry(run), *_carry(tot)), None
+
+        ginit = (*_carry(gident), *_carry(gident))
+        (rx, ry, rz, tx, ty, tz), _ = jax.lax.scan(
+            red_step, ginit, slab[::-1])
+        from lurk_tpu.msm.device_v2 import _flat, _unflat, _ident_rows
+        s_rows = _flat(E.assume_pt(curve, rx, ry, rz))
+        w_rows = _flat(E.assume_pt(curve, tx, ty, tz))
+        kvec = jnp.tile(jnp.arange(groups, dtype=jnp.int32), n_win)
+        kbits = (groups - 1).bit_length()
+        planes = [w_rows]
+        id_rows = jnp.asarray(_ident_rows(curve, n_win * groups))
+        for j in range(kbits):
+            selj = (((kvec >> j) & 1) == 1)[:, None]
+            planes.append(jnp.where(selj, s_rows, id_rows))
+        stackd = jnp.concatenate(planes, axis=0)
+        sums = _tree_sum_flat(curve, stackd, (1 + kbits) * n_win, groups)
+        return sums
+
+    return tail
+
+
+for c_bits in (16,):
+    from lurk_tpu.msm.device_v2 import _cfg as cfg_
+    n_win, n_buckets, _, _ = cfg_(c_bits)
+    rows_n = n_win * (n_buckets + 1)
+    rng = np.random.default_rng(1)
+    btab_h = rng.integers(0, 4096, size=(rows_n, 66), dtype=np.int32)
+    btab_d = jax.device_put(jnp.asarray(btab_h))
+    fn = make_tail(c_bits)
+    timeit(fn, btab_d, label=f"tail reduction+tree c={c_bits}", fresh=0)
+
+
+# 6. ladder + horner-ish serial small-batch cost: 252 sequential
+#    ec_adds at batch n_win — measures dispatch/latency floor.
+def make_ladder(n_win, iters):
+    @jax.jit
+    def ladder(rows):
+        from lurk_tpu.msm.device_v2 import _unflat, _carry as C
+        pt = _unflat(curve, rows)
+
+        def body(t, c3):
+            q = E.assume_pt(curve, *c3)
+            return C(E.ec_add(ctx, q, q))
+
+        out = jax.lax.fori_loop(0, iters, body, C(pt))
+        from lurk_tpu.msm.device_v2 import _flat
+        return _flat(E.assume_pt(curve, *out))
+    return ladder
+
+
+rng = np.random.default_rng(2)
+small = jax.device_put(jnp.asarray(
+    rng.integers(0, 4096, size=(16, 66), dtype=np.int32)))
+timeit(make_ladder(16, 240), small, label="240 serial ec_add batch16",
+       fresh=0)
