@@ -76,7 +76,12 @@ def _cfg(c_bits: int):
 
 
 def signed_digits(scalars: Sequence[int], order: int, c_bits: int):
-    """[n_win, n] int32 bucket ids (0 = skip) and packed (idx<<1)|neg."""
+    """[n_win, n] int32 bucket ids (0 = skip) and packed (idx<<1)|neg.
+
+    The TOP window stays unsigned (its digit + carry always fits the
+    [0, 2^(c-1)] bucket range for <=255-bit orders — e.g. Pallas' top
+    16-bit digit can be exactly 2^14, where a signed fold would need a
+    17th window). Host oracle for the device-side digitizer."""
     from ..native import fastpack
     n_win, _, _, _ = _cfg(c_bits)
     n = len(scalars)
@@ -95,12 +100,67 @@ def signed_digits(scalars: Sequence[int], order: int, c_bits: int):
     half, full = 1 << (c_bits - 1), 1 << c_bits
     for w in range(n_win):
         d = raw[:, w] + carry
-        neg = d > half
+        if w == n_win - 1:
+            neg = np.zeros(n, dtype=bool)
+        else:
+            neg = d > half
         dd = np.where(neg, d - full, d)
         carry = neg.astype(np.int32)
         buckets[w] = np.abs(dd)
         negidx[w] = idx2 | (dd < 0)
-    assert not carry.any(), "scalar exceeded the window budget"
+    assert int(buckets[n_win - 1].max(initial=0)) <= half, \
+        "top-window digit exceeded the bucket range"
+    return buckets, negidx
+
+
+def pack_scalar_words(scalars: Sequence[int], order: int) -> np.ndarray:
+    """[n, 8] int32 little-endian 32-bit words (device digitizer
+    input — 4x less tunnel traffic than the [n_win, n] digit pair)."""
+    from ..native import fastpack
+    buf = fastpack.pack_ints([int(s) % order for s in scalars])
+    return np.frombuffer(buf, dtype="<u4").reshape(len(scalars), 8) \
+        .astype(np.int32)
+
+
+def _device_digits(words: jnp.ndarray, c_bits: int):
+    """Device-side signed digitizer: [n, 8] int32 words -> (buckets,
+    negidx) [n_win, n] int32, matching signed_digits bit-exactly."""
+    n_win, _, _, _ = _cfg(c_bits)
+    n = words.shape[0]
+    uw = words.astype(jnp.uint32)       # logical shifts, not arithmetic
+    if c_bits == 16:
+        raw = jnp.stack(
+            [(uw[:, w // 2] >> (16 * (w % 2))) & 0xFFFF
+             for w in range(n_win)], axis=0)
+    elif c_bits == 12:
+        cols = []
+        for w in range(n_win):
+            off = 12 * w
+            word, sh = off // 32, off % 32
+            d = (uw[:, word] >> sh) & 0xFFF
+            if sh > 20 and word + 1 < 8:
+                d = d | ((uw[:, word + 1] << (32 - sh)) & 0xFFF)
+            cols.append(d)
+        raw = jnp.stack(cols, axis=0)
+    else:
+        raw = jnp.stack(
+            [(uw[:, w // 4] >> (8 * (w % 4))) & 0xFF
+             for w in range(n_win)], axis=0)
+    raw = raw.astype(jnp.int32)
+    half, full = 1 << (c_bits - 1), 1 << c_bits
+    idx2 = jnp.arange(n, dtype=jnp.int32) << 1
+
+    def step(carry, inp):
+        raw_w, is_top = inp
+        d = raw_w + carry
+        neg = (d > half) & ~is_top
+        dd = jnp.where(neg, d - full, d)
+        return neg.astype(jnp.int32), (jnp.abs(dd),
+                                       idx2 | (dd < 0))
+
+    is_top = jnp.zeros((n_win, 1), dtype=bool).at[n_win - 1].set(True)
+    _, (buckets, negidx) = jax.lax.scan(
+        step, jnp.zeros((n,), jnp.int32), (raw, is_top))
     return buckets, negidx
 
 
@@ -178,15 +238,19 @@ def _tree_sum_flat(curve: Curve, rows: jnp.ndarray, blocks: int,
 
 
 def _msm_kernel(curve: Curve, lanes_w: int, c_bits: int,
-                points, buckets, negidx):
-    """points: [n, 66] int32; buckets/negidx: [n_win, n] int32.
-    Returns a [1, 66] row (projective, Montgomery)."""
+                points, words):
+    """points: [n, 66] int32; words: [n, 8] int32 scalar words
+    (digitized on device). Returns a [1, 66] row (projective,
+    Montgomery)."""
     ctx = E.ec_ctx(curve)
     n_win, n_buckets, group_g, groups = _cfg(c_bits)
     stride = n_buckets + 1
     n = points.shape[0]
     chunk = n // lanes_w
     lanes_tot = n_win * lanes_w
+
+    # 0. device-side signed digitization (saves 4x tunnel traffic)
+    buckets, negidx = _device_digits(words, c_bits)
 
     # 1-2. sort each window by bucket id
     keys, vals = jax.lax.sort_key_val(buckets, negidx, dimension=1)
@@ -380,15 +444,13 @@ class MsmTable:
         """Dispatch without blocking; returns the device [1, 66] row."""
         n = self.n
         assert len(scalars) <= n
-        n_win, _, _, _ = _cfg(c_bits)
-        buckets, negidx = signed_digits(scalars, self.curve.order, c_bits)
+        words = pack_scalar_words(scalars, self.curve.order)
         if len(scalars) < n:
-            padb = np.zeros((n_win, n - len(scalars)), np.int32)
-            buckets = np.concatenate([buckets, padb], axis=1)
-            negidx = np.concatenate([negidx, padb], axis=1)
+            words = np.concatenate(
+                [words, np.zeros((n - len(scalars), 8), np.int32)])
         lanes_w = min(lanes_w, max(1, n // 2))
         fn = _jit_kernel(self.curve, lanes_w, c_bits)
-        return fn(self.rows, jnp.asarray(buckets), jnp.asarray(negidx))
+        return fn(self.rows, jnp.asarray(words))
 
 
 def msm_v2(curve: Curve, scalars: Sequence[int],

@@ -112,3 +112,22 @@ def test_msm_v2_matches_host(case, c_bits):
     tab = MsmTable.build(curve, pts)
     got = tab.msm(scalars, lanes_w=8, c_bits=c_bits)
     assert got == curve.pippenger(list(scalars), pts)
+
+
+@pytest.mark.parametrize("c_bits", [8, 12, 16])
+def test_device_digitizer_matches_host(c_bits):
+    """Device-side digitizer vs the host oracle, incl. the unsigned
+    top window (Pallas' order has the 2^254 bit set — a signed fold of
+    the top digit would need a 17th window)."""
+    import jax
+    from lurk_tpu.msm.device_v2 import _device_digits, pack_scalar_words
+    order = PALLAS.order
+    r = random.Random(5)
+    scalars = [0, 1, order - 1, order - 2, (1 << 254) + 3] + \
+        [r.randrange(order) for _ in range(27)]
+    want_b, want_n = signed_digits(scalars, order, c_bits)
+    words = pack_scalar_words(scalars, order)
+    got_b, got_n = jax.jit(
+        lambda w: _device_digits(w, c_bits))(jnp.asarray(words))
+    assert np.array_equal(np.asarray(got_b), want_b)
+    assert np.array_equal(np.asarray(got_n), want_n)
