@@ -282,3 +282,66 @@ small = jax.device_put(jnp.asarray(
     rng.integers(0, 4096, size=(16, 66), dtype=np.int32)))
 timeit(make_ladder(16, 240), small, label="240 serial ec_add batch16",
        fresh=0)
+
+
+# 7. scatter-row-alignment experiment: same scan+flush, but btab rows
+#    padded 66 -> 128 ints (one 512B line per row).
+def make_scan_flush_pad(lanes_w):
+    n_win = 16
+    stride = (1 << 15) + 1
+    chunk = n // lanes_w
+    lanes_tot = n_win * lanes_w
+    L = F.L
+    win_id = jnp.repeat(jnp.arange(n_win, dtype=jnp.int32), lanes_w)
+    table_rows = n_win * stride
+
+    @jax.jit
+    def scan_flush(points, bkt, vals):
+        keys = bkt.reshape(n_win, lanes_w, chunk).transpose(2, 0, 1) \
+            .reshape(chunk, lanes_tot)
+        v = vals.reshape(n_win, lanes_w, chunk).transpose(2, 0, 1) \
+            .reshape(chunk, lanes_tot)
+        btab0 = jnp.zeros((table_rows, 128), dtype=jnp.int32)
+        ident = E.identity(ctx, lanes_tot)
+
+        def step(carry, inp):
+            (ax, ay, az, cur, seen, headk, hrows, btab) = carry
+            key, vl = inp
+            acc = E.assume_pt(curve, ax, ay, az)
+            is_new = key != cur
+            closing = is_new & (cur != 0)
+            rec_head = closing & ~seen
+            headk = jnp.where(rec_head, cur, headk)
+            acc_rows = jnp.concatenate(
+                [acc.x.cols.T, acc.y.cols.T, acc.z.cols.T,
+                 jnp.zeros((lanes_tot, 62), jnp.int32)], axis=1)
+            hrows = jnp.where(rec_head[:, None], acc_rows[:, :66], hrows)
+            flush = closing & seen
+            scat = jnp.where(flush, win_id * stride + cur, table_rows)
+            btab = btab.at[scat].set(acc_rows, mode="drop")
+            seen = seen | closing
+            acc = pt_select(is_new[None, :], ident, acc)
+            idx = vl >> 1
+            neg = (vl & 1).astype(bool)
+            rows = points[idx]
+            x2 = F.Fe(rows[:, :L].T, ctx.p, 4096)
+            y2 = F.Fe(jnp.where(neg[:, None], rows[:, 2 * L:],
+                                rows[:, L:2 * L]).T, ctx.p, 4096)
+            added = ec_madd(ctx, acc, x2, y2)
+            out = pt_select((key != 0)[None, :], added, acc)
+            return (*_carry(out), key, seen, headk, hrows, btab), None
+
+        init = (*_carry(ident),
+                jnp.zeros((lanes_tot,), jnp.int32),
+                jnp.zeros((lanes_tot,), bool),
+                keys[0],
+                jnp.asarray(_ident_rows(curve, lanes_tot)), btab0)
+        (ax, ay, az, cur, seen, headk, hrows, btab), _ = jax.lax.scan(
+            step, init, (keys, v))
+        return btab
+
+    return scan_flush
+
+
+timeit(make_scan_flush_pad(512), tab.rows, db, dv,
+       label="scan+flush padded-128 rows", fresh=2)

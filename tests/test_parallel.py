@@ -17,10 +17,34 @@ def test_mesh_has_8_devices():
     assert len(jax.devices()) == 8
 
 
+def test_sharded_nib12_hasher_matches_host():
+    """The FLAGSHIP pallas_nib12 hasher shard_mapped over the mesh
+    (each device runs its own pallas_call on its local batch slice) —
+    digests must equal the host Poseidon."""
+    import random
+    import jax.numpy as jnp
+    from lurk_tpu.ops import nibbles as NB
+    from lurk_tpu.parallel.sharding import default_mesh
+    mesh = default_mesh(8)
+    r = random.Random(21)
+    p = PALLAS_SCALAR.modulus
+    arity, batch = 4, 64 * 8
+    vals = [[r.randrange(p) for _ in range(arity)] for _ in range(batch)]
+    pre = np.zeros((arity, 16, batch), dtype=np.uint32)
+    for j, pv in enumerate(vals):
+        for a, v in enumerate(pv):
+            pre[a, :, j] = NB._int_to_limbs(v, 16)
+    out = np.asarray(shard_hash_batch(mesh, PALLAS_SCALAR, arity,
+                                      jnp.asarray(pre), kernel="nib12"))
+    for j in (0, 1, batch // 2, batch - 1):
+        got = 0
+        for i in range(15, -1, -1):
+            got = (got << 16) | int(out[i, j])
+        assert got == hash_preimage(PALLAS_SCALAR, vals[j])
+
+
 def test_sharded_mont_mul_matches_host():
-    """Data-parallel sharding mechanics on a cheap kernel (the full
-    sharded Poseidon hasher costs a ~30 min SPMD compile on CPU; it is
-    exercised on real hardware via shard_hash_batch + dryrun)."""
+    """Data-parallel sharding mechanics on a cheap kernel."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
     mesh = default_mesh(8)
@@ -48,5 +72,7 @@ def test_sharded_msm_matches_host():
     pts = [PALLAS.mul(rng.randrange(1, 1 << 60), PALLAS.generator)
            for _ in range(n)]
     scalars = [rng.randrange(PALLAS.order) for _ in range(n)]
-    got = shard_msm(mesh, PALLAS, scalars, pts, c=8)
+    # lanes_w=8: CPU-mesh-safe width (XLA:CPU LLVM JIT code
+    # memory blows up on wider configs; TPU uses 512)
+    got = shard_msm(mesh, PALLAS, scalars, pts, c=8, lanes_w=8)
     assert got == PALLAS.msm(scalars, pts)
