@@ -33,12 +33,25 @@ def _pack_scalars(scalars: Sequence[int], order: int) -> np.ndarray:
 
 def pack_points(points: Sequence[Affine]) -> np.ndarray:
     """[n, 8] uint64 canonical (x, y) limb array; cacheable (commitment
-    keys pack their generators once)."""
-    buf = b"".join(
-        (pt[0].to_bytes(32, "little") + pt[1].to_bytes(32, "little"))
-        if pt is not None else bytes(64)
-        for pt in points)
-    return np.frombuffer(buf, dtype=np.uint64).reshape(len(points), 8)
+    keys pack their generators once). Bulk C packing via fastpack (the
+    per-point to_bytes/join path cost ~30s at 2M-point keys)."""
+    from .fastpack import pack_ints
+    n = len(points)
+    try:
+        xs = [0 if pt is None else pt[0] for pt in points]
+        ys = [0 if pt is None else pt[1] for pt in points]
+        bx = np.frombuffer(pack_ints(xs), dtype=np.uint64).reshape(n, 4)
+        by = np.frombuffer(pack_ints(ys), dtype=np.uint64).reshape(n, 4)
+        out = np.empty((n, 8), dtype=np.uint64)
+        out[:, :4] = bx
+        out[:, 4:] = by
+        return out
+    except Exception:
+        buf = b"".join(
+            (pt[0].to_bytes(32, "little") + pt[1].to_bytes(32, "little"))
+            if pt is not None else bytes(64)
+            for pt in points)
+        return np.frombuffer(buf, dtype=np.uint64).reshape(n, 8)
 
 
 def _default_c(n: int) -> int:

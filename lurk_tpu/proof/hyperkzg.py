@@ -61,6 +61,14 @@ class Srs:
     powers: List[Affine]            # [tau^i]_1, i < n
     g2: pr.G2Point                  # [1]_2
     tau_g2: pr.G2Point              # [tau]_2
+    _packed: Optional[object] = None   # cached native point packing
+
+    def packed(self):
+        if self._packed is None:
+            from ..native import msm as nmsm
+            if nmsm.available():
+                self._packed = nmsm.pack_points(self.powers)
+        return self._packed
 
 
 def _fixed_base_mul_table(gen: Affine, c: int = 8):
@@ -131,13 +139,17 @@ def load_srs(n: int) -> Srs:
 # ---------------------------------------------------------------------------
 
 
-def _msm(scalars: Sequence[int], points: Sequence[Affine]) -> Affine:
+def _msm(scalars: Sequence[int], points: Sequence[Affine],
+         srs: Optional[Srs] = None) -> Affine:
     from ..native import msm as nmsm
     scalars = list(scalars)
-    pts = list(points[:len(scalars)])
     if len(scalars) >= 64 and nmsm.available():
-        return nmsm.msm(CURVE, scalars, pts)
-    return CURVE.pippenger(scalars, pts)
+        if srs is not None and srs.powers is points:
+            packed = srs.packed()
+            if packed is not None:
+                return nmsm.msm_packed(CURVE, scalars, packed)
+        return nmsm.msm(CURVE, scalars, list(points[:len(scalars)]))
+    return CURVE.pippenger(scalars, list(points[:len(scalars)]))
 
 
 def _poly_eval(coeffs: Sequence[int], z: int, q: int) -> int:
@@ -184,7 +196,7 @@ def prove(srs: Srs, poly: Sequence[int], point: Sequence[int],
         x = xs[i]
         polys.append([(prev[2 * j] + x * (prev[2 * j + 1] - prev[2 * j]))
                       % q for j in range(len(prev) // 2)])
-    comms = [_msm(pl, srs.powers) for pl in polys[1:]]
+    comms = [_msm(pl, srs.powers, srs) for pl in polys[1:]]
     for cm in comms:
         tr.absorb_point(cm)
     r = tr.squeeze() % q or 1
@@ -202,7 +214,8 @@ def prove(srs: Srs, poly: Sequence[int], point: Sequence[int],
             for i, c in enumerate(pl):
                 batched[i] = (batched[i] + g * c) % q
             g = g * gamma % q
-        quotients.append(_msm(_quotient(batched, z, q), srs.powers))
+        quotients.append(_msm(_quotient(batched, z, q),
+                              srs.powers, srs))
     for w in quotients:
         tr.absorb_point(w)             # delta must bind the quotients
     tr.squeeze()                       # keep state aligned with verify

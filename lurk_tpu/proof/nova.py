@@ -54,6 +54,10 @@ class R1CSShape:
 
     def matvecs(self, z: List[int]) -> Tuple[List[int], List[int],
                                              List[int]]:
+        if self.num_constraints >= 256:
+            from ..native import r1cs as nr
+            if nr.available():
+                return nr.matvecs(self, z)
         p = self.p
         az, bz, cz = [], [], []
         for a, b, c in self.rows:

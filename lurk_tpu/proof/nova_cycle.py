@@ -110,7 +110,8 @@ class CyclePublicParams:
 
     @staticmethod
     def setup(field1: FieldSpec, io_arity: int, step_fn,
-              dummy_z0: List[int], dummy_step_aux: Any = None
+              dummy_z0: List[int], dummy_step_aux: Any = None,
+              cache_base: Optional[str] = None
               ) -> "CyclePublicParams":
         curve1 = CURVE_FOR_FIELD[field1.name]
         field2 = curve1.base
@@ -123,17 +124,29 @@ class CyclePublicParams:
                             io_arity=0, fold_at_base=True)
         # shape synthesis with base-step dummies (shapes are uniform in
         # the witness by construction; pinned by tests)
-        w1 = AugmentedWitness(0, 0, 0, 0, list(dummy_z0), list(dummy_z0),
-                              _default_relaxed(), None, [0, 0], None,
-                              dummy_step_aux)
-        cs1 = ConstraintSystem(field1)
-        synthesize_augmented(cs1, cfg1, w1)
-        shape1 = R1CSShape(cs1)
-        w2 = AugmentedWitness(0, 0, 0, 0, [], [], _default_relaxed(),
-                              None, [0, 0], None)
-        cs2 = ConstraintSystem(field2)
-        synthesize_augmented(cs2, cfg2, w2)
-        shape2 = R1CSShape(cs2)
+        from .params_cache import cached_shape
+
+        def synth1():
+            w1 = AugmentedWitness(0, 0, 0, 0, list(dummy_z0),
+                                  list(dummy_z0), _default_relaxed(),
+                                  None, [0, 0], None, dummy_step_aux)
+            cs1 = ConstraintSystem(field1)
+            synthesize_augmented(cs1, cfg1, w1)
+            return R1CSShape(cs1)
+
+        def synth2():
+            w2 = AugmentedWitness(0, 0, 0, 0, [], [],
+                                  _default_relaxed(), None, [0, 0],
+                                  None)
+            cs2 = ConstraintSystem(field2)
+            synthesize_augmented(cs2, cfg2, w2)
+            return R1CSShape(cs2)
+
+        if cache_base is not None:
+            shape1 = cached_shape(f"{cache_base}_cyc1", field1, synth1)
+            shape2 = cached_shape(f"{cache_base}_cyc2", field2, synth2)
+        else:
+            shape1, shape2 = synth1(), synth2()
         digest = hashlib.sha256(
             (shape1.digest + ":" + shape2.digest).encode()).hexdigest()
         pp_digest = int(digest, 16) & ((1 << 124) - 1)

@@ -40,13 +40,22 @@ def _gens_to_bytes(gens: List[Affine]) -> bytes:
 
 
 def _gens_from_bytes(data: bytes, n: int) -> List[Affine]:
-    gens = []
-    for i in range(n):
-        off = 64 * i
-        x = int.from_bytes(data[off:off + 32], "little")
-        y = int.from_bytes(data[off + 32:off + 64], "little")
-        gens.append((x, y))
-    return gens
+    """Bulk path: one C-level unpack of all 2n coordinates (the
+    python int.from_bytes loop was a ~100s fixed cost per prover run
+    at 2M-point keys)."""
+    from ..native import fastpack
+    try:
+        coords = fastpack.unpack_ints(data[:64 * n])
+        it = iter(coords)
+        return list(zip(it, it))
+    except Exception:
+        gens = []
+        for i in range(n):
+            off = 64 * i
+            x = int.from_bytes(data[off:off + 32], "little")
+            y = int.from_bytes(data[off + 32:off + 64], "little")
+            gens.append((x, y))
+        return gens
 
 
 def load_generators(curve: Curve, label: bytes, n: int) -> List[Affine]:
@@ -170,4 +179,19 @@ def load_shape(key: str, field):
     shape.rows = rows
     shape.digest = z["digest"].tobytes().decode()
     shape.csr = csr
+    return shape
+
+
+def cached_shape(key, field, synth_fn):
+    """Load an R1CSShape from the disk cache or synthesize + save it.
+    The cycle backends' augmented shapes cost minutes of python LC
+    algebra to synthesize; the cache turns that into an npz load."""
+    shape = load_shape(key, field)
+    if shape is not None:
+        return shape
+    shape = synth_fn()
+    try:
+        save_shape(key, shape)
+    except OSError:
+        pass
     return shape

@@ -77,8 +77,13 @@ def cycle_public_params(store: Store, rc: int, lurk_step: ir.Func,
     store.hydrate_z_cache()
     mfs = MultiFrame.from_frames(frames, rc, lurk_step, store, lang)
     dummy_z0 = mfs[0].z_in
+    from .params_cache import shape_cache_key
+    import hashlib as _hl
+    base = shape_cache_key(store.field.name, rc, lurk_step) + \
+        _hl.sha256(repr(lang_key).encode()).hexdigest()[:8]
     pp = CyclePublicParams.setup(store.field, 6, step_fn, dummy_z0,
-                                 (mfs[0].frames, store))
+                                 (mfs[0].frames, store),
+                                 cache_base=base)
     _CYCLE_PP_CACHE[key] = pp
     return pp
 

@@ -80,8 +80,12 @@ def sn_cycle_public_params(store: Store, rc: int, lurk_step: ir.Func,
         dummy_auxes.append(
             ([Frame.blank_frame(func, 0, store)], 0, store))
     dummy_z0 = io_scalars(store, frames[0].input)
+    from .params_cache import shape_cache_key
+    import hashlib as _hl
+    base = shape_cache_key(store.field.name, rc, lurk_step) + \
+        _hl.sha256(repr(lang_key).encode()).hexdigest()[:8]
     pp = SnCyclePublicParams.setup(store.field, 6, step_fns, dummy_z0,
-                                   dummy_auxes)
+                                   dummy_auxes, cache_base=base)
     _PP_CACHE[key] = pp
     return pp
 

@@ -34,6 +34,7 @@ import dataclasses
 from typing import List, Optional, Tuple
 
 from ..curves.weierstrass import Affine
+from ..native import spartan as native_sc
 from . import ipa
 from .mle import (
     chi_table, lagrange_eval, mle_eval, next_pow2, pad_pow2,
@@ -118,7 +119,9 @@ def prove(pp: PublicParams, inst: RelaxedInstance,
     az, bz, cz = (pad_pow2(az, m_pad), pad_pow2(bz, m_pad),
                   pad_pow2(cz, m_pad))
     e_vec = pad_pow2([v % p for v in wit.e], m_pad)
-    eq_tau = chi_table(tau, p)
+    use_native = native_sc.available()
+    eq_tau = (native_sc.chi_table(tau, p) if use_native
+              else chi_table(tau, p))
     u = inst.u % p
 
     def comb1(vals):
@@ -130,24 +133,32 @@ def prove(pp: PublicParams, inst: RelaxedInstance,
             tr.absorb_scalar(v)
         return tr.squeeze() % p
 
-    sc1_polys, rx, finals1 = sumcheck_prove(
-        0, s_x, [eq_tau, az, bz, cz, e_vec], comb1, 3, p, chal)
+    if use_native:
+        sc1_polys, rx, finals1 = native_sc.sumcheck1(
+            eq_tau, az, bz, cz, e_vec, u, p, chal)
+    else:
+        sc1_polys, rx, finals1 = sumcheck_prove(
+            0, s_x, [eq_tau, az, bz, cz, e_vec], comb1, 3, p, chal)
     _, az_r, bz_r, cz_r, e_r = finals1
     for v in (az_r, bz_r, cz_r, e_r):
         tr.absorb_scalar(v)
     r = tr.squeeze() % p
 
     # M = (A + r B + r^2 C)^T chi(rx) over the split-z domain
-    chi_rx = chi_table(rx, p)
-    m_vec = [0] * (2 * n_half)
     r2 = r * r % p
-    for i, (a_lc, b_lc, c_lc) in enumerate(shape.rows):
-        ci = chi_rx[i]
-        for lc, rp in ((a_lc, 1), (b_lc, r), (c_lc, r2)):
-            w_coeff = ci * rp % p
-            for j, val in lc.items():
-                idx = _col_index(shape, n_half, j)
-                m_vec[idx] = (m_vec[idx] + w_coeff * val) % p
+    if use_native:
+        chi_rx = native_sc.chi_table(rx, p)
+        m_vec = native_sc.spartan_mvec(shape, chi_rx, r, n_half)
+    else:
+        chi_rx = chi_table(rx, p)
+        m_vec = [0] * (2 * n_half)
+        for i, (a_lc, b_lc, c_lc) in enumerate(shape.rows):
+            ci = chi_rx[i]
+            for lc, rp in ((a_lc, 1), (b_lc, r), (c_lc, r2)):
+                w_coeff = ci * rp % p
+                for j, val in lc.items():
+                    idx = _col_index(shape, n_half, j)
+                    m_vec[idx] = (m_vec[idx] + w_coeff * val) % p
     z_split = (_pub_vector(shape, inst, n_half)
                + pad_pow2([v % p for v in wit.w], n_half))
     claim2 = (az_r + r * bz_r + r2 * cz_r) % p
@@ -155,11 +166,16 @@ def prove(pp: PublicParams, inst: RelaxedInstance,
     def comb2(vals):
         return vals[0] * vals[1] % p
 
-    sc2_polys, ry, _finals2 = sumcheck_prove(
-        claim2, s_y, [m_vec, z_split], comb2, 2, p, chal)
+    if use_native:
+        sc2_polys, ry, _finals2 = native_sc.sumcheck2(
+            m_vec, z_split, p, chal)
+    else:
+        sc2_polys, ry, _finals2 = sumcheck_prove(
+            claim2, s_y, [m_vec, z_split], comb2, 2, p, chal)
 
     w_padded = pad_pow2([v % p for v in wit.w], n_half)
-    w_eval = mle_eval(w_padded, ry[1:], p)
+    w_eval = (native_sc.mle_eval(w_padded, ry[1:], p) if use_native
+              else mle_eval(w_padded, ry[1:], p))
     tr.absorb_scalar(w_eval)
 
     if _uses_kzg(pp):
@@ -187,8 +203,8 @@ def verify(pp: PublicParams, inst: RelaxedInstance,
     s_y = (2 * n_half).bit_length() - 1
     if len(proof.sc1_polys) != s_x or len(proof.sc2_polys) != s_y:
         return False
-    if inst.comm_w is None or inst.comm_e is None:
-        return False
+    # comm_w/comm_e may be the identity (e.g. a 1-step fold has E = 0);
+    # the PCS opening checks remain sound for identity commitments
     tr = _transcript(pp, inst)
     tau = [tr.squeeze() % p for _ in range(s_x)]
 
@@ -218,12 +234,20 @@ def verify(pp: PublicParams, inst: RelaxedInstance,
     except ValueError:
         return False
 
-    chi_rx = chi_table(rx, p)
-    chi_ry = chi_table(ry, p)
-    a_eval, b_eval, c_eval = _matrix_evals(shape, chi_rx, chi_ry, n_half)
+    if native_sc.available():
+        chi_rx = native_sc.chi_table(rx, p)
+        chi_ry = native_sc.chi_table(ry, p)
+        a_eval, b_eval, c_eval = native_sc.matrix_evals(
+            shape, chi_rx, chi_ry, n_half)
+        chi_ry1 = native_sc.chi_table(ry[1:], p)
+    else:
+        chi_rx = chi_table(rx, p)
+        chi_ry = chi_table(ry, p)
+        a_eval, b_eval, c_eval = _matrix_evals(shape, chi_rx, chi_ry,
+                                               n_half)
+        chi_ry1 = chi_table(ry[1:], p)
     m_eval = (a_eval + r * b_eval + r2 * c_eval) % p
     # Z~(ry) from the public part + claimed W opening
-    chi_ry1 = chi_table(ry[1:], p)
     pub = _pub_vector(shape, inst, n_half)
     pub_eval = sum(v * c for v, c in zip(pub[:shape.num_inputs],
                                          chi_ry1[:shape.num_inputs])) % p

@@ -29,6 +29,7 @@ from .supernova_augmented import (
     synthesize_sn_primary, synthesize_sn_secondary,
 )
 from .transcript import Transcript
+from ..utils.tracing import span as _tspan
 
 
 def sn_state1(curve2: Curve, pp: int, i: int, z0: Sequence[int],
@@ -80,7 +81,9 @@ class SnCyclePublicParams:
     @staticmethod
     def setup(field1: FieldSpec, io_arity: int, step_fns,
               dummy_z0: List[int], dummy_auxes: List[Any],
-              base_allowed: bool = False) -> "SnCyclePublicParams":
+              base_allowed: bool = False,
+              cache_base: Optional[str] = None
+              ) -> "SnCyclePublicParams":
         """step_fns[pc](cs, zi_nums, aux) -> (z_next, pc_next);
         dummy_auxes[pc] drives the shape synthesis of circuit pc.
         base_allowed lets chains START at any circuit index."""
@@ -96,21 +99,36 @@ class SnCyclePublicParams:
                  for pc in range(n)]
         cfg2 = SnSecondaryCfg(curve_other=curve1,
                               p_other=field1.modulus, n_circuits=n)
-        shapes1 = []
-        for pc in range(n):
-            w1 = SnPrimaryWitness(
-                0, 0, 0, 0 if pc == 0 else 1, list(dummy_z0),
-                list(dummy_z0), pc, _default_relaxed(), None, [0, 0],
-                None, dummy_auxes[pc])
-            cs1 = ConstraintSystem(field1)
-            synthesize_sn_primary(cs1, cfg1s[pc], w1)
-            shapes1.append(R1CSShape(cs1))
-        w2 = SnSecondaryWitness(0, 0, 0, 0, 0,
-                                [_default_relaxed() for _ in range(n)],
-                                None, [0, 0], None)
-        cs2 = ConstraintSystem(field2)
-        synthesize_sn_secondary(cs2, cfg2, w2)
-        shape2 = R1CSShape(cs2)
+        from .params_cache import cached_shape
+
+        def synth1(pc):
+            def go():
+                w1 = SnPrimaryWitness(
+                    0, 0, 0, 0 if pc == 0 else 1, list(dummy_z0),
+                    list(dummy_z0), pc, _default_relaxed(), None,
+                    [0, 0], None, dummy_auxes[pc])
+                cs1 = ConstraintSystem(field1)
+                synthesize_sn_primary(cs1, cfg1s[pc], w1)
+                return R1CSShape(cs1)
+            return go
+
+        def synth2():
+            w2 = SnSecondaryWitness(
+                0, 0, 0, 0, 0,
+                [_default_relaxed() for _ in range(n)], None, [0, 0],
+                None)
+            cs2 = ConstraintSystem(field2)
+            synthesize_sn_secondary(cs2, cfg2, w2)
+            return R1CSShape(cs2)
+
+        if cache_base is not None:
+            shapes1 = [cached_shape(f"{cache_base}_sn{pc}", field1,
+                                    synth1(pc)) for pc in range(n)]
+            shape2 = cached_shape(f"{cache_base}_snsec_{n}", field2,
+                                  synth2)
+        else:
+            shapes1 = [synth1(pc)() for pc in range(n)]
+            shape2 = synth2()
         h = hashlib.sha256(
             (":".join(s.digest for s in shapes1)
              + "|" + shape2.digest).encode()).hexdigest()
@@ -179,8 +197,10 @@ class SnCycleSNARK:
             U2_next, W2_next = self.U2, self.W2
         else:
             u2, w2vec = self.pending
-            t2 = cross_term(pp.shape2, self.U2, self.W2, u2.x, w2vec)
-            comm_t2 = pp.ck2.commit(t2)
+            with _tspan("cross_term2+commit"):
+                t2 = cross_term(pp.shape2, self.U2, self.W2, u2.x,
+                                w2vec)
+                comm_t2 = pp.ck2.commit(t2)
             r2 = cycle_fold_challenge(pp.curve2, pp.pp_digest, self.U2,
                                       u2, comm_t2)
             U2_next = fold_instance(pp.curve2, self.U2, u2, comm_t2, r2,
@@ -199,28 +219,33 @@ class SnCycleSNARK:
             step_aux=step_aux, step_cache=step_cache)
         cs1 = ConstraintSystem(pp.field1, check=check,
                                witness_only=not check)
-        z_next_nums, pc_next_num = synthesize_sn_primary(
-            cs1, pp.cfg1s[pc], wit1)
+        with _tspan("synthesize_primary"):
+            z_next_nums, pc_next_num = synthesize_sn_primary(
+                cs1, pp.cfg1s[pc], wit1)
         assert [n.value for n in z_next_nums] == zi_next, \
             "step output does not match claimed z_next"
         assert pc_next_num.value == pc_next % p1
         if check:
             assert R1CSShape(cs1).digest == pp.shapes1[pc].digest, \
                 f"primary circuit {pc} shape drift"
-        u1 = R1CSInstance(pp.ck1.commit(cs1.aux), cs1.inputs[1:])
+        with _tspan("commit_w1"):
+            u1 = R1CSInstance(pp.ck1.commit(cs1.aux), cs1.inputs[1:])
         w1vec = list(cs1.aux)
 
         # 4. fold u1 into U1[pc] (challenge binds pc)
-        t1 = cross_term(pp.shapes1[pc], self.U1[pc], self.W1[pc], u1.x,
-                        w1vec)
-        comm_t1 = pp.ck1.commit(t1)
+        with _tspan("cross_term1"):
+            t1 = cross_term(pp.shapes1[pc], self.U1[pc], self.W1[pc],
+                            u1.x, w1vec)
+        with _tspan("commit_t1"):
+            comm_t1 = pp.ck1.commit(t1)
         r1 = cycle_fold_challenge(pp.curve1, pp.pp_digest, self.U1[pc],
                                   u1, comm_t1, extra=(pc,))
         U1_next = list(self.U1)
         W1_next = list(self.W1)
         U1_next[pc] = fold_instance(pp.curve1, self.U1[pc], u1, comm_t1,
                                     r1, p1)
-        W1_next[pc] = fold_witness(p1, self.W1[pc], w1vec, t1, r1)
+        with _tspan("fold_witness1"):
+            W1_next[pc] = fold_witness(p1, self.W1[pc], w1vec, t1, r1)
 
         # 5. new secondary chain hash over the accumulator LIST
         g_next = sn_state2(pp.curve1, pp.pp_digest, self.i + 1, U1_next,
@@ -233,7 +258,8 @@ class SnCycleSNARK:
             new_x=list(u1.x), comm_t=comm_t1)
         cs2 = ConstraintSystem(pp.field2, check=check,
                                witness_only=not check)
-        synthesize_sn_secondary(cs2, pp.cfg2, wit2)
+        with _tspan("synthesize_secondary"):
+            synthesize_sn_secondary(cs2, pp.cfg2, wit2)
         if check:
             assert R1CSShape(cs2).digest == pp.shape2.digest, \
                 "secondary circuit shape drift"
