@@ -104,7 +104,11 @@ def msm_packed(curve: Curve, scalars: Sequence[int], packed: np.ndarray,
     mod = np.asarray(_to_limbs(curve.p), dtype=np.uint64)
     r2 = np.asarray(_to_limbs((_R * _R) % curve.p), dtype=np.uint64)
     pts = np.ascontiguousarray(packed[:n])
-    scs = _pack_scalars(scalars, curve.order)
+    from .r1cs import PackedVec
+    if isinstance(scalars, PackedVec):
+        scs = scalars.arr.reshape(-1, 4)[:n]
+    else:
+        scs = _pack_scalars(scalars, curve.order)
     out = np.zeros(12, dtype=np.uint64)
     u64p = ctypes.POINTER(ctypes.c_uint64)
     algo = _algo()

@@ -48,6 +48,61 @@ def _unpack_vec(arr: np.ndarray, n: int) -> List[int]:
     return unpack_ints(arr.tobytes()[:32 * n])
 
 
+class PackedVec:
+    """A field vector held as 4x64-limb LE packed numpy (canonical,
+    < p). Keeps prover accumulators native-resident: the int-list <->
+    bytes marshalling at every fold step was ~20% of warm prove time.
+    Iteration/indexing unpack lazily (cached) for the cold paths."""
+
+    __slots__ = ("arr", "n", "p", "_ints")
+
+    def __init__(self, arr: np.ndarray, n: int, p: int):
+        self.arr = arr
+        self.n = n
+        self.p = p
+        self._ints = None
+
+    @staticmethod
+    def pack(vec, p: int) -> "PackedVec":
+        if isinstance(vec, PackedVec):
+            return vec
+        return PackedVec(_pack_vec(vec, p), len(vec), p)
+
+    def ints(self) -> List[int]:
+        if self._ints is None:
+            self._ints = _unpack_vec(self.arr, self.n)
+        return self._ints
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __iter__(self):
+        return iter(self.ints())
+
+    def __getitem__(self, i):
+        return self.ints()[i]
+
+    def __setitem__(self, i, v):
+        vals = self.ints()
+        vals[i] = v
+        self.arr = _pack_vec(vals, self.p)
+        self._ints = vals
+
+
+def _as_packed(vec, p: int) -> np.ndarray:
+    if isinstance(vec, PackedVec):
+        return vec.arr
+    return _pack_vec(vec, p)
+
+
+def pv_concat(head: Sequence[int], tail, p: int) -> "PackedVec":
+    """PackedVec of (head ints ++ tail vector)."""
+    ha = _pack_vec([int(v) % p for v in head], p)
+    ta = _as_packed(tail, p)
+    n = len(head) + len(tail)
+    return PackedVec(np.concatenate([ha, ta]), n, p)
+
+
 def _u64p(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
 
@@ -106,7 +161,7 @@ def matvecs(shape, z: Sequence[int]):
     lib = load("r1cs")
     h = handle_for(shape)
     m = shape.num_constraints
-    zp = _pack_vec(z, shape.p)
+    zp = _as_packed(z, shape.p)
     out = np.zeros(3 * m * 4, dtype=np.uint64)
     lib.lurk_r1cs_matvecs(ctypes.c_long(h), _u64p(zp),
                           ctypes.c_int(_threads()), _u64p(out))
@@ -122,8 +177,8 @@ def cross_term(shape, z1: Sequence[int], u1: int, z2: Sequence[int]
     h = handle_for(shape)
     m = shape.num_constraints
     p = shape.p
-    z1p = _pack_vec(z1, p)
-    z2p = _pack_vec(z2, p)
+    z1p = _as_packed(z1, p)
+    z2p = _as_packed(z2, p)
     u1p = np.frombuffer(_limbs(u1 % p), dtype=np.uint64)
     out = np.zeros(m * 4, dtype=np.uint64)
     lib.lurk_r1cs_cross_term(ctypes.c_long(h), _u64p(z1p), _u64p(u1p),
@@ -132,14 +187,30 @@ def cross_term(shape, z1: Sequence[int], u1: int, z2: Sequence[int]
     return _unpack_vec(out, m)
 
 
+def cross_term_pv(shape, z1, u1: int, z2) -> "PackedVec":
+    """cross_term with a packed result (stays native-resident)."""
+    lib = load("r1cs")
+    h = handle_for(shape)
+    m = shape.num_constraints
+    p = shape.p
+    z1p = _as_packed(z1, p)
+    z2p = _as_packed(z2, p)
+    u1p = np.frombuffer(_limbs(u1 % p), dtype=np.uint64)
+    out = np.zeros(m * 4, dtype=np.uint64)
+    lib.lurk_r1cs_cross_term(ctypes.c_long(h), _u64p(z1p), _u64p(u1p),
+                             _u64p(z2p), ctypes.c_int(_threads()),
+                             _u64p(out))
+    return PackedVec(out, m, p)
+
+
 def check_relaxed(shape, z: Sequence[int], u: int, e: Sequence[int]
                   ) -> bool:
     lib = load("r1cs")
     lib.lurk_r1cs_check_relaxed.restype = ctypes.c_uint64
     h = handle_for(shape)
     p = shape.p
-    zp = _pack_vec(z, p)
-    ep = _pack_vec(e, p)
+    zp = _as_packed(z, p)
+    ep = _as_packed(e, p)
     up = np.frombuffer(_limbs(u % p), dtype=np.uint64)
     bad = lib.lurk_r1cs_check_relaxed(ctypes.c_long(h), _u64p(zp),
                                       _u64p(up), _u64p(ep),
@@ -155,11 +226,28 @@ def vec_rlc(p: int, a: Sequence[int], b: Sequence[int], r: int
     assert len(b) == n
     mod = np.frombuffer(_limbs(p), dtype=np.uint64)
     r2 = np.frombuffer(_limbs((_R * _R) % p), dtype=np.uint64)
-    ap = _pack_vec(a, p)
-    bp = _pack_vec(b, p)
+    ap = _as_packed(a, p)
+    bp = _as_packed(b, p)
     rp = np.frombuffer(_limbs(r % p), dtype=np.uint64)
     out = np.zeros(4 * n, dtype=np.uint64)
     lib.lurk_vec_rlc(_u64p(mod), _u64p(r2), _u64p(ap), _u64p(bp),
                      _u64p(rp), ctypes.c_uint64(n),
                      ctypes.c_int(_threads()), _u64p(out))
     return _unpack_vec(out, n)
+
+
+def vec_rlc_pv(p: int, a, b, r: int) -> "PackedVec":
+    """a + r*b with a packed result."""
+    lib = load("r1cs")
+    n = len(a)
+    assert len(b) == n
+    mod = np.frombuffer(_limbs(p), dtype=np.uint64)
+    r2 = np.frombuffer(_limbs((_R * _R) % p), dtype=np.uint64)
+    ap = _as_packed(a, p)
+    bp = _as_packed(b, p)
+    rp = np.frombuffer(_limbs(r % p), dtype=np.uint64)
+    out = np.zeros(4 * n, dtype=np.uint64)
+    lib.lurk_vec_rlc(_u64p(mod), _u64p(r2), _u64p(ap), _u64p(bp),
+                     _u64p(rp), ctypes.c_uint64(n),
+                     ctypes.c_int(_threads()), _u64p(out))
+    return PackedVec(out, n, p)

@@ -147,11 +147,15 @@ class RelaxedWitness:
                               [0] * shape.num_constraints)
 
 
-def z_vector(shape: R1CSShape, x: List[int], w: List[int],
-             u: int = 1) -> List[int]:
-    """(u | X | W): the leading public ONE generalizes to u when relaxed."""
-    return [u % shape.p] + [v % shape.p for v in x] + \
-        [v % shape.p for v in w]
+def z_vector(shape: R1CSShape, x: List[int], w, u: int = 1):
+    """(u | X | W): the leading public ONE generalizes to u when
+    relaxed. Returns a PackedVec when w is packed (native-resident
+    accumulator path) — matvecs/cross_term/check_relaxed accept both."""
+    from ..native.r1cs import PackedVec, pv_concat
+    head = [u % shape.p] + [v % shape.p for v in x]
+    if isinstance(w, PackedVec):
+        return pv_concat(head, w, shape.p)
+    return head + [v % shape.p for v in w]
 
 
 def _native_r1cs():
@@ -190,15 +194,15 @@ def check_relaxed(shape: R1CSShape, inst: RelaxedInstance,
 
 
 def cross_term(shape: R1CSShape, inst1: RelaxedInstance,
-               wit1: RelaxedWitness, x2: List[int], w2: List[int]
-               ) -> List[int]:
-    """T = Az1∘Bz2 + Az2∘Bz1 − u1·Cz2 − Cz1  (u2 = 1 strict)."""
+               wit1: RelaxedWitness, x2: List[int], w2):
+    """T = Az1∘Bz2 + Az2∘Bz1 − u1·Cz2 − Cz1  (u2 = 1 strict).
+    Returns a PackedVec on the native path."""
     p = shape.p
     z1 = z_vector(shape, inst1.x, wit1.w, inst1.u)
     z2 = z_vector(shape, x2, w2, 1)
     nr = _native_r1cs()
     if nr is not None:
-        return nr.cross_term(shape, z1, inst1.u, z2)
+        return nr.cross_term_pv(shape, z1, inst1.u, z2)
     az1, bz1, cz1 = shape.matvecs(z1)
     az2, bz2, cz2 = shape.matvecs(z2)
     u1 = inst1.u
@@ -242,12 +246,13 @@ def fold_instance(curve: Curve, acc: RelaxedInstance, new: R1CSInstance,
     return RelaxedInstance(comm_w, comm_e, x, (acc.u + r) % order)
 
 
-def fold_witness(p: int, acc: RelaxedWitness, w2: Sequence[int],
-                 t: Sequence[int], r: int) -> RelaxedWitness:
+def fold_witness(p: int, acc: RelaxedWitness, w2, t,
+                 r: int) -> RelaxedWitness:
     from ..native import r1cs as nr1cs
     if nr1cs.available() and len(acc.w) >= 1024:
-        w = nr1cs.vec_rlc(p, acc.w, w2, r)
-        e = nr1cs.vec_rlc(p, acc.e, t, r)
+        # packed-resident accumulators: no int marshalling per fold
+        w = nr1cs.vec_rlc_pv(p, acc.w, w2, r)
+        e = nr1cs.vec_rlc_pv(p, acc.e, t, r)
         return RelaxedWitness(w, e)
     w = [(a + r * b) % p for a, b in zip(acc.w, w2)]
     e = [(a + r * b) % p for a, b in zip(acc.e, t)]

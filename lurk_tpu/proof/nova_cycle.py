@@ -241,8 +241,9 @@ class CycleSNARK:
         if check:
             assert R1CSShape(cs1).digest == pp.shape1.digest, \
                 "primary augmented circuit shape drift"
-        u1 = R1CSInstance(pp.ck1.commit(cs1.aux), cs1.inputs[1:])
-        w1vec = list(cs1.aux)
+        from ..native.r1cs import PackedVec
+        w1vec = PackedVec.pack(cs1.aux, p1)
+        u1 = R1CSInstance(pp.ck1.commit(w1vec), cs1.inputs[1:])
 
         # 4. fold u1 into U1 (verified by the secondary circuit)
         t1 = cross_term(pp.shape1, self.U1, self.W1, u1.x, w1vec)
@@ -267,9 +268,10 @@ class CycleSNARK:
         if check:
             assert R1CSShape(cs2).digest == pp.shape2.digest, \
                 "secondary augmented circuit shape drift"
-        u2_new = R1CSInstance(pp.ck2.commit(cs2.aux), cs2.inputs[1:])
+        w2pv = PackedVec.pack(cs2.aux, pp.field2.modulus)
+        u2_new = R1CSInstance(pp.ck2.commit(w2pv), cs2.inputs[1:])
         assert u2_new.x == [self.g, g_next]
-        self.pending = (u2_new, list(cs2.aux))
+        self.pending = (u2_new, w2pv)
 
         self.U1, self.W1 = U1_next, W1_next
         self.U2, self.W2 = U2_next, W2_next

@@ -228,9 +228,10 @@ class SnCycleSNARK:
         if check:
             assert R1CSShape(cs1).digest == pp.shapes1[pc].digest, \
                 f"primary circuit {pc} shape drift"
+        from ..native.r1cs import PackedVec
+        w1vec = PackedVec.pack(cs1.aux, p1)   # pack once, reuse below
         with _tspan("commit_w1"):
-            u1 = R1CSInstance(pp.ck1.commit(cs1.aux), cs1.inputs[1:])
-        w1vec = list(cs1.aux)
+            u1 = R1CSInstance(pp.ck1.commit(w1vec), cs1.inputs[1:])
 
         # 4. fold u1 into U1[pc] (challenge binds pc)
         with _tspan("cross_term1"):
@@ -263,9 +264,10 @@ class SnCycleSNARK:
         if check:
             assert R1CSShape(cs2).digest == pp.shape2.digest, \
                 "secondary circuit shape drift"
-        u2_new = R1CSInstance(pp.ck2.commit(cs2.aux), cs2.inputs[1:])
+        w2pv = PackedVec.pack(cs2.aux, p2)
+        u2_new = R1CSInstance(pp.ck2.commit(w2pv), cs2.inputs[1:])
         assert u2_new.x == [self.g, g_next]
-        self.pending = (u2_new, list(cs2.aux))
+        self.pending = (u2_new, w2pv)
 
         self.U1, self.W1 = U1_next, W1_next
         self.U2, self.W2 = U2_next, W2_next
