@@ -263,3 +263,82 @@ void lurk_chi_table(const u64* mod, const u64* r2l, u64 k,
 }
 
 }
+
+extern "C" {
+
+// Even/odd fold on PLAIN packed arrays (HyperKZG Gemini fold):
+// out[i] = a[2i] + x * (a[2i+1] - a[2i]), i < half; in-place safe
+// (ascending i reads indices >= i).
+void lurk_bind_eo(const u64* mod, const u64* r2l, u64 half, u64* arr,
+                  const u64* x_l, int n_threads) {
+    Field f;
+    f.init(mod, r2l);
+    Fe r2;
+    std::memcpy(r2.v, f.r2, 32);
+    Fe xm;
+    {
+        Fe x;
+        std::memcpy(x.v, x_l, 32);
+        fe_mul(f, xm, x, r2);
+    }
+    Fe* a = (Fe*)arr;
+    // sequential (in-place aliasing between chunks is only safe
+    // ascending); half the elements of a mul each — fast enough
+    Fe d, t;
+    for (size_t i = 0; i < half; i++) {
+        fe_sub(f, d, a[2 * i + 1], a[2 * i]);
+        fe_mul(f, t, xm, d);
+        fe_add(f, a[i], a[2 * i], t);
+    }
+}
+
+// Horner evaluation of a plain packed coefficient vector at plain z.
+void lurk_poly_eval(const u64* mod, const u64* r2l, u64 n,
+                    const u64* coeffs, const u64* z_l, u64* out) {
+    Field f;
+    f.init(mod, r2l);
+    Fe r2;
+    std::memcpy(r2.v, f.r2, 32);
+    Fe zm;
+    {
+        Fe z;
+        std::memcpy(z.v, z_l, 32);
+        fe_mul(f, zm, z, r2);
+    }
+    const Fe* c = (const Fe*)coeffs;
+    Fe acc;
+    std::memset(&acc, 0, sizeof(acc));
+    for (long i = (long)n - 1; i >= 0; i--) {
+        Fe t;
+        fe_mul(f, t, zm, acc);          // plain(z * acc)
+        fe_add(f, acc, t, c[i]);
+    }
+    std::memcpy(out, acc.v, 32);
+}
+
+// Synthetic division (p(X) - p(z)) / (X - z): out has n-1 coeffs.
+void lurk_poly_quotient(const u64* mod, const u64* r2l, u64 n,
+                        const u64* coeffs, const u64* z_l, u64* out) {
+    Field f;
+    f.init(mod, r2l);
+    Fe r2;
+    std::memcpy(r2.v, f.r2, 32);
+    Fe zm;
+    {
+        Fe z;
+        std::memcpy(z.v, z_l, 32);
+        fe_mul(f, zm, z, r2);
+    }
+    const Fe* c = (const Fe*)coeffs;
+    Fe* o = (Fe*)out;
+    Fe acc;
+    std::memset(&acc, 0, sizeof(acc));
+    for (long i = (long)n - 1; i >= 1; i--) {
+        Fe t;
+        fe_mul(f, t, zm, acc);
+        fe_add(f, acc, t, c[i]);
+        o[i - 1] = acc;
+    }
+}
+
+}

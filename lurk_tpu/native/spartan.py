@@ -169,3 +169,38 @@ def mle_eval(vec: Sequence[int], rs: Sequence[int], p: int) -> int:
                          _u64p(arr), _u64p(r_arr), _threads())
         half //= 2
     return from_mont(arr, 1, p)[0]
+
+
+def bind_eo(pv, x: int):
+    """In-place Gemini even/odd fold of a plain PackedVec: keeps the
+    HyperKZG poly chain native-resident. Returns the halved view."""
+    from .r1cs import PackedVec
+    lib = load("spartan")
+    mod, r2 = _mod_r2(pv.p)
+    half = pv.n // 2
+    x_arr = _pack_vec([x % pv.p], pv.p)
+    lib.lurk_bind_eo(_u64p(mod), _u64p(r2), ctypes.c_uint64(half),
+                     _u64p(pv.arr), _u64p(x_arr), _threads())
+    return PackedVec(pv.arr[:4 * half].copy(), half, pv.p)
+
+
+def poly_eval(pv, z: int) -> int:
+    lib = load("spartan")
+    mod, r2 = _mod_r2(pv.p)
+    z_arr = _pack_vec([z % pv.p], pv.p)
+    out = np.empty(4, dtype=np.uint64)
+    lib.lurk_poly_eval(_u64p(mod), _u64p(r2), ctypes.c_uint64(pv.n),
+                       _u64p(pv.arr), _u64p(z_arr), _u64p(out))
+    return _unpack_vec(out, 1)[0]
+
+
+def poly_quotient(pv, z: int):
+    from .r1cs import PackedVec
+    lib = load("spartan")
+    mod, r2 = _mod_r2(pv.p)
+    z_arr = _pack_vec([z % pv.p], pv.p)
+    out = np.zeros(4 * (pv.n - 1), dtype=np.uint64)
+    lib.lurk_poly_quotient(_u64p(mod), _u64p(r2),
+                           ctypes.c_uint64(pv.n), _u64p(pv.arr),
+                           _u64p(z_arr), _u64p(out))
+    return PackedVec(out, pv.n - 1, pv.p)

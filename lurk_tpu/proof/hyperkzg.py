@@ -190,6 +190,45 @@ def prove(srs: Srs, poly: Sequence[int], point: Sequence[int],
     k = n.bit_length() - 1
     assert n == 1 << k and len(point) == k
     xs = [v % q for v in reversed(point)]    # LSB-first binding
+    from ..native import spartan as nsc
+    from ..native.r1cs import PackedVec
+    if nsc.available():
+        # native-resident chain: folds, evals, batching and quotients
+        # all on packed buffers (the python loops were ~10s/proof at
+        # 2^21)
+        pvs = [PackedVec.pack([v % q for v in poly]
+                              if not isinstance(poly, PackedVec)
+                              else poly, q)]
+        for i in range(k - 1):
+            prev = pvs[-1]
+            cp = PackedVec(prev.arr.copy(), prev.n, q)
+            pvs.append(nsc.bind_eo(cp, xs[i]))
+        comms = [_msm(pv, srs.powers, srs) for pv in pvs[1:]]
+        for cm in comms:
+            tr.absorb_point(cm)
+        r = tr.squeeze() % q or 1
+        zs = (r, (-r) % q, r * r % q)
+        evals = [tuple(nsc.poly_eval(pv, z) for z in zs)
+                 for pv in pvs]
+        for ev in evals:
+            for v in ev:
+                tr.absorb_scalar(v)
+        gamma = tr.squeeze() % q
+        from ..native import r1cs as nr
+        barr = pvs[0].arr.copy()
+        g = 1
+        for pv in pvs[1:]:
+            g = g * gamma % q
+            pref = PackedVec(barr[:4 * pv.n], pv.n, q)
+            out = nr.vec_rlc_pv(q, pref, pv, g)
+            barr[:4 * pv.n] = out.arr
+        batched_pv = PackedVec(barr, n, q)
+        quotients = [_msm(nsc.poly_quotient(batched_pv, z),
+                          srs.powers, srs) for z in zs]
+        for w in quotients:
+            tr.absorb_point(w)
+        tr.squeeze()
+        return HkzgProof(comms, evals, quotients)
     polys = [[v % q for v in poly]]
     for i in range(k - 1):
         prev = polys[-1]
