@@ -36,3 +36,100 @@ def test_no_false_merges():
     h1 = f.add("h", [a])
     f.minimize()
     assert f.find(g1) != f.find(h1)
+
+
+def test_coil_program_graph_and_minimize():
+    """coil.rs:603-717 test_coil_foil functionality: the nested-let
+    program interns into the expected class structure; finalize deduces
+    defining constructors for projections, applies binds, and the
+    minimized graph identifies car(x) with the constructor argument."""
+    from lurk_tpu.fields import BN256_SCALAR
+    from lurk_tpu.foil import Coil
+    from lurk_tpu.parser import read_with_default_state
+    from lurk_tpu.store.core import Store
+
+    store = Store(BN256_SCALAR, use_device=False)
+    src = """(let ((x (cons q r)))
+               (let ((s (let ((x (cons a b)))
+                          (car x)
+                          (xxx qqq))))
+                 (car x)))"""
+    expr = read_with_default_state(store, src)
+    coil = Coil()
+    coil.add_program(store, expr)
+    f = coil.foil
+    # pre-finalize: 16 vertices, all singleton classes (coil.rs:656-676)
+    assert len(f.verts) == 16
+    assert len(f.classes()) == 16
+    coil.finalize()
+    g = coil.canonical = f.canonical_graph()
+    cls = f.classes()
+
+    def rep_of(pred):
+        for i, v in enumerate(f.verts):
+            h = v.head[0] if isinstance(v.head, tuple) else v.head
+            if pred(h, v):
+                return f.find(i)
+        raise AssertionError("vertex not found")
+
+    # outer x merged with its defining cons(q, r)
+    outer_x = rep_of(lambda h, v: h == "var" and v.head[1].endswith(".x")
+                     and v.head[2] == 2)
+    outer_cons = rep_of(lambda h, v: h == ".lurk.cons"
+                        and len(v.successors) == 2
+                        and f.find(v.successors[0]) == f.find(0))
+    assert outer_x == outer_cons
+    # car(outer x) merged with q (projection of the deduced constructor)
+    q = f.find(0)
+    car_outer = [i for i, v in enumerate(f.verts)
+                 if (v.head[0] if isinstance(v.head, tuple) else v.head)
+                 == ".lurk.car" and f.find(v.successors[0]) == outer_x]
+    assert car_outer and all(f.find(i) == q for i in car_outer)
+    # inner x likewise merged with cons(a, b), car(inner x) with a
+    # (shadowed x stayed distinct from outer x)
+    inner_x_vid = [i for i, v in enumerate(f.verts)
+                   if isinstance(v.head, tuple) and v.head[0] == "var"
+                   and v.head[1].endswith(".x") and v.head[2] != 2]
+    assert inner_x_vid and f.find(inner_x_vid[0]) != outer_x
+
+
+def test_coil_circuit_synthesis():
+    """Minimized-graph circuit: one allocation per class, constructor
+    classes carry a Poseidon relation (coil.rs synthesize)."""
+    from lurk_tpu.fields import BN256_SCALAR
+    from lurk_tpu.foil import Coil
+    from lurk_tpu.parser import read_with_default_state
+    from lurk_tpu.poseidon.host import hash_preimage
+    from lurk_tpu.r1cs.cs import ConstraintSystem
+    from lurk_tpu.store.core import Store
+
+    store = Store(BN256_SCALAR, use_device=False)
+    expr = read_with_default_state(
+        store, "(let ((x (cons q r))) (car x))")
+    coil = Coil()
+    coil.add_program(store, expr)
+    coil.finalize()
+    f = coil.foil
+    graph = f.canonical_graph()
+    # host valuation: q = 7, r = 9, cons class = hash2(q, r)
+    q_rep, r_rep = f.find(0), f.find(1)
+    cons_rep = None
+    for rep, (head, succ) in graph.items():
+        h = head[0] if isinstance(head, tuple) else head
+        if h in (".lurk.cons", "var") and succ and len(succ) == 2:
+            cons_rep = rep
+    values = {q_rep: 7, r_rep: 9}
+    digest = hash_preimage(BN256_SCALAR, [7, 9])
+    for rep, (head, succ) in graph.items():
+        if rep not in values:
+            values[rep] = digest if succ and len(succ) == 2 else 0
+    # fix projection classes: car(x) ~ q already merged into q_rep
+    cs = ConstraintSystem(BN256_SCALAR, check=True)
+    coil.synthesize(cs, values)
+    assert cs.is_satisfied()
+    # wrong valuation must violate the constructor relation
+    bad = dict(values)
+    bad[q_rep] = 8
+    cs2 = ConstraintSystem(BN256_SCALAR)
+    coil.synthesize(cs2, bad)
+    assert not cs2.is_satisfied()
