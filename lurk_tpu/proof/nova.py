@@ -1,20 +1,12 @@
 """Nova-style folding (NIFS) over relaxed R1CS with Pedersen commitments.
 
 Functionality parity target: arecibo's `RecursiveSNARK::{new,prove_step,
-verify}` driven by /root/reference/src/proof/nova.rs:260-373. Round-1
-scope (documented design decision):
-
-  - The PROVER pipeline is the real thing: per step, a strict R1CS
-    instance is folded into a running relaxed accumulator — cross-term
-    T = Az1∘Bz2 + Az2∘Bz1 − u1·Cz2 − Cz1, Pedersen commitments via the
-    device MSM, Fiat-Shamir challenges from the Poseidon transcript.
-    This is the hot loop BASELINE.md measures ("Nova fold steps/s").
-  - The VERIFIER recomputes the fold chain (one RO call + point ops per
-    step) and checks the final relaxed witness directly — i.e. batch
-    R1CS verification by random linear combination, NOT yet the succinct
-    in-circuit verifier. The Nova augmented circuit (in-circuit fold
-    verification on the curve cycle) and Spartan compression are the
-    planned next layers (SURVEY.md §7 steps 5,7).
+verify}` driven by /root/reference/src/proof/nova.rs:260-373. This
+module holds the NIFS primitives (shapes, commitment keys, fold math)
+shared by every backend. The RecursiveSNARK/FoldingProof at the bottom
+is the *-fold DEBUG backend (recomputing verifier); the production
+backends are the augmented-circuit cycle provers (nova_cycle.py /
+supernova_cycle.py — succinct, compressed by default).
 
 Relaxed R1CS: Az ∘ Bz = u·(Cz) + E with z = (W, X, u).
 """
@@ -92,14 +84,37 @@ class CommitmentKey:
         from .params_cache import load_generators
         return CommitmentKey(curve, load_generators(curve, label, n))
 
-    use_device: bool = False
+    def _device_table(self):
+        """Device-resident MsmTable over this key's generators (v2
+        sorted-segment kernel). Opt-in via LURK_TPU_DEVICE_COMMITS=1:
+        through the axon tunnel the device MSM is ~at parity with the
+        4-core host (PERF.md: 3.22s vs 3.40s @ 2^20), so routing is a
+        win only on locally-attached chips or when the host cores are
+        saturated by witness generation."""
+        import os
+        if not os.environ.get("LURK_TPU_DEVICE_COMMITS"):
+            return None
+        tab = getattr(self, "_dev_tab", None)
+        if tab is None:
+            import jax
+            if jax.default_backend() == "cpu":
+                object.__setattr__(self, "_dev_tab", False)
+                return None
+            from ..msm.device_v2 import MsmTable
+            tab = MsmTable.build(self.curve, self.gens)
+            object.__setattr__(self, "_dev_tab", tab)
+        return tab or None
 
     def commit(self, vec: Sequence[int]) -> Affine:
         n = len(vec)
         assert n <= len(self.gens), "commitment key too small"
-        if self.use_device and n >= 4096:
-            from ..msm.pippenger import msm
-            return msm(self.curve, list(vec), self.gens[:n])
+        tab = self._device_table() if n >= 65536 else None
+        if tab is not None:
+            from ..msm import ec12 as E12
+            from ..msm.device_v2 import _unflat
+            out = tab.msm_async(list(vec))
+            return E12.pt_from_device(self.curve,
+                                      _unflat(self.curve, out))[0]
         from ..native import msm as nmsm
         if n >= 64 and nmsm.available():
             # packed-generator cache: keys are long-lived, commits hot
