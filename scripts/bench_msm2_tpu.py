@@ -41,17 +41,6 @@ def run(curve, n_log2, lanes_w=512, reps=3, c_bits=16):
     th = time.perf_counter() - t0
     print(f"  native host msm: {th:.3f}s  speedup {th/min(times):.2f}x  parity={'OK' if got == want else 'FAIL'}", flush=True)
 
-if __name__ == "__main__":
-    import os
-    c_bits = int(os.environ.get("MSM_C", "16"))
-    nl = [int(x) for x in sys.argv[1:]] or [16, 18, 20]
-    for n_log2 in nl:
-        if os.environ.get("MSM_PIPELINED"):
-            run_pipelined(BN254_G1, n_log2, c_bits=c_bits)
-        else:
-            run(BN254_G1, n_log2, c_bits=c_bits)
-
-
 def run_pipelined(curve, n_log2, depth=6, lanes_w=512, c_bits=16):
     """Prover-shaped throughput: `depth` MSMs dispatched back-to-back
     (fresh scalars each) and materialized together — host digitize/
@@ -78,3 +67,14 @@ def run_pipelined(curve, n_log2, depth=6, lanes_w=512, c_bits=16):
     dt = time.perf_counter() - t0
     print(f"{curve.name} 2^{n_log2} pipelined x{depth}: "
           f"{dt:.2f}s total, {dt/depth:.3f}s/msm", flush=True)
+
+
+if __name__ == "__main__":
+    import os
+    c_bits = int(os.environ.get("MSM_C", "16"))
+    nl = [int(x) for x in sys.argv[1:]] or [16, 18, 20]
+    for n_log2 in nl:
+        if os.environ.get("MSM_PIPELINED"):
+            run_pipelined(BN254_G1, n_log2, c_bits=c_bits)
+        else:
+            run(BN254_G1, n_log2, c_bits=c_bits)
