@@ -65,14 +65,35 @@ def test_sharded_mont_mul_matches_host():
 
 
 def test_sharded_msm_matches_host():
-    import random
-    rng = random.Random(3)
-    mesh = default_mesh(8)
-    n = 48
-    pts = [PALLAS.mul(rng.randrange(1, 1 << 60), PALLAS.generator)
-           for _ in range(n)]
-    scalars = [rng.randrange(PALLAS.order) for _ in range(n)]
-    # lanes_w=8: CPU-mesh-safe width (XLA:CPU LLVM JIT code
-    # memory blows up on wider configs; TPU uses 512)
-    got = shard_msm(mesh, PALLAS, scalars, pts, c=8, lanes_w=8)
-    assert got == PALLAS.msm(scalars, pts)
+    """Runs in a SUBPROCESS: by this point in the suite the parent has
+    accumulated enough LLVM-JIT'd CPU executables that loading the v2
+    MSM kernel's (large) compiled artifact segfaults XLA:CPU with
+    code-memory exhaustion. A fresh interpreter reproduces the real
+    standalone behavior (and still exercises the shared compile
+    cache)."""
+    import os
+    import subprocess
+    import sys
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    code = (
+        "import random\n"
+        "from lurk_tpu.curves.weierstrass import PALLAS\n"
+        "from lurk_tpu.parallel.sharding import default_mesh, shard_msm\n"
+        "rng = random.Random(3)\n"
+        "mesh = default_mesh(8)\n"
+        "n = 48\n"
+        "pts = [PALLAS.mul(rng.randrange(1, 1 << 60), PALLAS.generator)"
+        " for _ in range(n)]\n"
+        "scalars = [rng.randrange(PALLAS.order) for _ in range(n)]\n"
+        "got = shard_msm(mesh, PALLAS, scalars, pts, c=8, lanes_w=8)\n"
+        "assert got == PALLAS.msm(scalars, pts)\n"
+        "print('SHARD_MSM_OK')\n")
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=1200)
+    assert "SHARD_MSM_OK" in r.stdout, r.stderr[-2000:]
