@@ -137,10 +137,7 @@ void lurk_sc_round1(const u64* mod, const u64* r2l, u64 half,
         std::memset(&acc, 0, sizeof(acc));
         for (int t = 0; t < nt; t++)
             fe_add(f, acc, acc, sums[4 * t + tt]);
-        // two unmonts: values went through TWO mont muls (still mont^2
-        // ... no: mont*mont = mont once per product chain). Products
-        // here are mont-domain (one level); single unmont suffices.
-        fe_mul(f, out[tt], acc, one);
+        fe_mul(f, out[tt], acc, one);    // unmont
     }
 }
 

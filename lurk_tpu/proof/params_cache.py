@@ -151,9 +151,7 @@ def load_shape(key: str, field):
         z = np.load(path)
     except OSError:
         return None
-    from ..native.fastpack import unpack_ints
     num_inputs, num_aux, m = (int(v) for v in z["meta"])
-    rows = [({}, {}, {}) for _ in range(m)]
     csr = {}
     for name, which in (("a", 0), ("b", 1), ("c", 2)):
         indptr = z[f"{name}_indptr"]
@@ -164,22 +162,53 @@ def load_shape(key: str, field):
         csr[which] = (indptr.astype(np.uint64),
                       idx.astype(np.uint64),
                       np.frombuffer(coef_bytes, dtype=np.uint64))
-        coefs = unpack_ints(coef_bytes)
-        idx_l = idx.tolist()
-        ip = indptr.tolist()
-        for r in range(m):
-            lc = rows[r][which]
-            for j in range(ip[r], ip[r + 1]):
-                lc[idx_l[j]] = coefs[j]
     shape = R1CSShape.__new__(R1CSShape)
     shape.p = field.modulus
     shape.field = field
     shape.num_inputs = num_inputs
     shape.num_aux = num_aux
-    shape.rows = rows
+    # lazy: the python LC-dict rows (~4M dict inserts for the big
+    # augmented shapes, 5-10s) are only needed by python fallbacks —
+    # the native paths use `csr` directly
+    shape.rows = _LazyRows(csr, m)
     shape.digest = z["digest"].tobytes().decode()
     shape.csr = csr
     return shape
+
+
+class _LazyRows:
+    """List-like view over cached CSR arrays that materializes the
+    python LC-dict rows only on real access (len() stays cheap)."""
+
+    def __init__(self, csr, m: int):
+        self._csr = csr
+        self._m = m
+        self._rows = None
+
+    def _mat(self):
+        if self._rows is None:
+            from ..native.fastpack import unpack_ints
+            rows = [({}, {}, {}) for _ in range(self._m)]
+            for which in range(3):
+                indptr, idx, coef = self._csr[which]
+                coefs = unpack_ints(coef.tobytes())
+                idx_l = idx.tolist()
+                ip = indptr.tolist()
+                for r in range(self._m):
+                    lc = rows[r][which]
+                    for j in range(ip[r], ip[r + 1]):
+                        lc[idx_l[j]] = coefs[j]
+            self._rows = rows
+        return self._rows
+
+    def __len__(self) -> int:
+        return self._m
+
+    def __iter__(self):
+        return iter(self._mat())
+
+    def __getitem__(self, i):
+        return self._mat()[i]
 
 
 def cached_shape(key, field, synth_fn):
