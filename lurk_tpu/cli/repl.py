@@ -753,7 +753,11 @@ class Repl:
         for p in (cek_io[3], cek_io[4], self._cont_from_key(cek_io[5])):
             z = s.hash_ptr(p)
             expect_zi.extend((z.tag, z.digest))
-        if lp.proof.z0 != expect_z0 or lp.proof.zi != expect_zi:
+        proof_z0 = list(lp.proof.z0)
+        # cycle proofs name the final state zn; fold chains zi
+        proof_zi = list(getattr(lp.proof, "zi", None)
+                        or getattr(lp.proof, "zn"))
+        if proof_z0 != expect_z0 or proof_zi != expect_zi:
             raise ReplError("proof IO does not match the protocol")
         if not self.verify_proof_key(data["proof_key"]):
             raise ReplError("proof failed verification")
