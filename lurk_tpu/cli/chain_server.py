@@ -22,7 +22,7 @@ from http.server import BaseHTTPRequestHandler, HTTPServer
 from pathlib import Path
 from typing import Optional
 
-from ..fields import FIELDS, FieldSpec
+from ..fields import FIELDS
 from ..lem import evaluation as ev
 from ..store.core import Ptr, Store, ZPtr
 from ..store.zdag import ZDag

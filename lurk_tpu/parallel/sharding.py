@@ -14,7 +14,7 @@ points, negligible vs the sharded bucket work).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

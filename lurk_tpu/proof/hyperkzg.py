@@ -38,7 +38,7 @@ import json
 from typing import List, Optional, Sequence, Tuple
 
 from ..curves import pairing as pr
-from ..curves.weierstrass import BN254_G1, Affine, Curve
+from ..curves.weierstrass import BN254_G1, Affine
 from .transcript import Transcript
 
 CURVE = BN254_G1

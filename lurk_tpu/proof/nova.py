@@ -14,9 +14,9 @@ Relaxed R1CS: Az ∘ Bz = u·(Cz) + E with z = (W, X, u).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
-from ..curves.weierstrass import Affine, CURVE_FOR_FIELD, Curve, PALLAS
+from ..curves.weierstrass import Affine, CURVE_FOR_FIELD, Curve
 from ..r1cs.cs import LC, ConstraintSystem
 from .transcript import Transcript
 

@@ -37,8 +37,8 @@ from ..curves.weierstrass import Affine
 from ..native import spartan as native_sc
 from . import ipa
 from .mle import (
-    chi_table, lagrange_eval, mle_eval, next_pow2, pad_pow2,
-    sumcheck_prove, sumcheck_verify,
+    chi_table, mle_eval, next_pow2, pad_pow2, sumcheck_prove,
+    sumcheck_verify,
 )
 from .nova import (
     FoldingProof, PublicParams, R1CSInstance, R1CSShape, RelaxedInstance,
