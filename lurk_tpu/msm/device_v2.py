@@ -296,8 +296,10 @@ def _msm_kernel(curve: Curve, lanes_w: int, c_bits: int,
             jnp.zeros((lanes_tot,), bool),
             keys[0],                              # head key := first key
             jnp.asarray(_ident_rows(curve, lanes_tot)), btab0)
+    import os
+    unroll = int(os.environ.get("LURK_MSM_SCAN_UNROLL", "1"))
     (ax, ay, az, cur, seen, headk, hrows, btab), _ = jax.lax.scan(
-        step, init, (keys, vals))
+        step, init, (keys, vals), unroll=unroll)
 
     # 4. boundary combine: interleave (head, tail) per lane (bucket-
     # sorted), segmented inclusive sum, last-of-segment scatter.
