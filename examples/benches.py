@@ -109,15 +109,13 @@ def bench_public_params(rc: int) -> None:
         store = Store(BN256_SCALAR)
         prover = psc.SuperNovaCycleProver(rc=rc)
         lurk_step, cprocs = prover.setup_funcs()
+        psc._PP_CACHE.clear()          # measure the disk path, not LRU
         t0 = time.time()
         psc.sn_cycle_public_params(store, rc, lurk_step, cprocs, None)
         _emit("public_params", "cold", time.time() - t0, rc=rc)
+        psc._PP_CACHE.clear()
         t0 = time.time()
-        psc.sn_cycle_public_params.__wrapped__(
-            store, rc, lurk_step, cprocs, None) \
-            if hasattr(psc.sn_cycle_public_params, "__wrapped__") else \
-            psc.sn_cycle_public_params(store, rc, lurk_step, cprocs,
-                                       None)
+        psc.sn_cycle_public_params(store, rc, lurk_step, cprocs, None)
         _emit("public_params", "warm", time.time() - t0, rc=rc)
     finally:
         if old is None:
