@@ -234,6 +234,50 @@ u64 lurk_r1cs_check_relaxed(long h, const u64* z_limbs,
 // n_half + (j - num_inputs).
 // ---------------------------------------------------------------------------
 
+// Cross term with CACHED accumulator matvecs: abc1 = (Az1|Bz1|Cz1)
+// precomputed (the accumulator's z folds linearly, z1' = z1 + r z2,
+// so its matvecs fold forward with one RLC instead of 3 spmv); also
+// outputs (Az2|Bz2|Cz2) so the caller can fold them into the cache.
+void lurk_r1cs_cross_term_cached(long h, const u64* abc1_limbs,
+                                 const u64* u1_limbs,
+                                 const u64* z2_limbs, int n_threads,
+                                 u64* out_t, u64* out_abc2) {
+    const Shape& s = *g_shapes[h];
+    const Field& f = s.f;
+    const Fe* a1v = (const Fe*)abc1_limbs;
+    const Fe* b1v = a1v + s.m;
+    const Fe* c1v = b1v + s.m;
+    const Fe* z2 = (const Fe*)z2_limbs;
+    Fe* t_out = (Fe*)out_t;
+    Fe* a2v = (Fe*)out_abc2;
+    Fe* b2v = a2v + s.m;
+    Fe* c2v = b2v + s.m;
+    Fe r2;
+    std::memcpy(r2.v, f.r2, 32);
+    Fe u1m;
+    {
+        Fe u1;
+        std::memcpy(u1.v, u1_limbs, 32);
+        fe_mul(f, u1m, u1, r2);
+    }
+    parallel_rows(s.m, n_threads, [&](size_t lo, size_t hi) {
+        Fe t1, t2, t3, acc;
+        for (size_t r = lo; r < hi; r++) {
+            spmv_row(f, s.a, z2, r, a2v[r]);
+            spmv_row(f, s.b, z2, r, b2v[r]);
+            spmv_row(f, s.c, z2, r, c2v[r]);
+            fe_mul(f, t1, a1v[r], r2);
+            fe_mul(f, t1, t1, b2v[r]);      // a1*b2 canonical
+            fe_mul(f, t2, a2v[r], r2);
+            fe_mul(f, t2, t2, b1v[r]);      // a2*b1
+            fe_mul(f, t3, u1m, c2v[r]);     // u1*c2
+            fe_add(f, acc, t1, t2);
+            fe_sub(f, acc, acc, t3);
+            fe_sub(f, t_out[r], acc, c1v[r]);
+        }
+    });
+}
+
 // m_vec = (A + r B + r^2 C)^T chi over the split-z domain; out plain
 // [2 * n_half].
 void lurk_spartan_mvec(long h, const u64* chi_limbs, const u64* r_limbs,

@@ -251,3 +251,39 @@ def vec_rlc_pv(p: int, a, b, r: int) -> "PackedVec":
                      _u64p(rp), ctypes.c_uint64(n),
                      ctypes.c_int(_threads()), _u64p(out))
     return PackedVec(out, n, p)
+
+
+def cross_term_cached(shape, abc1, u1: int, z2):
+    """Cross term using cached accumulator matvecs.
+
+    abc1: PackedVec of (Az1 | Bz1 | Cz1) (3m elements). Returns
+    (t: PackedVec[m], abc2: PackedVec[3m]) — abc2 lets the caller fold
+    the cache forward (abc1' = abc1 + r * abc2, since z folds
+    linearly)."""
+    lib = load("r1cs")
+    h = handle_for(shape)
+    m = shape.num_constraints
+    p = shape.p
+    a1 = _as_packed(abc1, p)
+    z2p = _as_packed(z2, p)
+    u1p = np.frombuffer(_limbs(u1 % p), dtype=np.uint64)
+    out_t = np.zeros(m * 4, dtype=np.uint64)
+    out2 = np.zeros(3 * m * 4, dtype=np.uint64)
+    lib.lurk_r1cs_cross_term_cached(
+        ctypes.c_long(h), _u64p(a1), _u64p(u1p), _u64p(z2p),
+        ctypes.c_int(_threads()), _u64p(out_t), _u64p(out2))
+    return PackedVec(out_t, m, p), PackedVec(out2, 3 * m, p)
+
+
+def matvecs_pv(shape, z) -> "PackedVec":
+    """(Az | Bz | Cz) as one packed 3m vector (cache initialization
+    for cross_term_cached — e.g. after resuming a snark whose
+    accumulator is not the zero instance)."""
+    lib = load("r1cs")
+    h = handle_for(shape)
+    m = shape.num_constraints
+    zp = _as_packed(z, shape.p)
+    out = np.zeros(3 * m * 4, dtype=np.uint64)
+    lib.lurk_r1cs_matvecs(ctypes.c_long(h), _u64p(zp),
+                          ctypes.c_int(_threads()), _u64p(out))
+    return PackedVec(out, 3 * m, shape.p)

@@ -196,6 +196,7 @@ class CycleSNARK:
         self.g = 0
         self.U1 = _default_relaxed()
         self.W1 = RelaxedWitness.default(pp.shape1)
+        self._abc1 = None           # cached accumulator matvecs
         self.U2 = _default_relaxed()
         self.W2 = RelaxedWitness.default(pp.shape2)
         self.pending: Optional[Tuple[R1CSInstance, List[int]]] = None
@@ -246,12 +247,28 @@ class CycleSNARK:
         u1 = R1CSInstance(pp.ck1.commit(w1vec), cs1.inputs[1:])
 
         # 4. fold u1 into U1 (verified by the secondary circuit)
-        t1 = cross_term(pp.shape1, self.U1, self.W1, u1.x, w1vec)
+        from ..native import r1cs as _nr
+        abc2 = None
+        if _nr.available():
+            from .nova import z_vector
+            if self._abc1 is None:
+                # init from the CURRENT accumulator (nonzero after a
+                # resume)
+                self._abc1 = _nr.matvecs_pv(
+                    pp.shape1, z_vector(pp.shape1, self.U1.x,
+                                        self.W1.w, self.U1.u))
+            z2 = z_vector(pp.shape1, u1.x, w1vec, 1)
+            t1, abc2 = _nr.cross_term_cached(pp.shape1, self._abc1,
+                                             self.U1.u, z2)
+        else:
+            t1 = cross_term(pp.shape1, self.U1, self.W1, u1.x, w1vec)
         comm_t1 = pp.ck1.commit(t1)
         r1 = cycle_fold_challenge(pp.curve1, pp.pp_digest, self.U1, u1,
                                   comm_t1)
         U1_next = fold_instance(pp.curve1, self.U1, u1, comm_t1, r1, p1)
         W1_next = fold_witness(p1, self.W1, w1vec, t1, r1)
+        if abc2 is not None:
+            self._abc1 = _nr.vec_rlc_pv(p1, self._abc1, abc2, r1)
 
         # 5. new secondary chain hash
         g_next = cycle_state_hash(pp.curve1, pp.pp_digest, self.i + 1,

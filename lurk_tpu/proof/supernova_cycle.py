@@ -17,6 +17,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 from ..curves.weierstrass import CURVE_FOR_FIELD, Affine, Curve
 from ..fields import FieldSpec
+from ..native.r1cs import PackedVec
 from ..r1cs.cs import ConstraintSystem
 from .nova import (
     CommitmentKey, R1CSInstance, R1CSShape, RelaxedInstance,
@@ -177,6 +178,10 @@ class SnCycleSNARK:
         self.g = 0
         self.U1 = [_default_relaxed() for _ in range(pp.n_circuits)]
         self.W1 = [RelaxedWitness.default(s) for s in pp.shapes1]
+        # cached accumulator matvecs (Az1|Bz1|Cz1) per circuit: z1
+        # folds linearly, so these fold forward with one RLC instead
+        # of 3 sparse matvecs per cross-term (native path only)
+        self._abc1 = [None] * pp.n_circuits
         self.U2 = _default_relaxed()
         self.W2 = RelaxedWitness.default(pp.shape2)
         self.pending: Optional[Tuple[R1CSInstance, List[int]]] = None
@@ -234,9 +239,24 @@ class SnCycleSNARK:
             u1 = R1CSInstance(pp.ck1.commit(w1vec), cs1.inputs[1:])
 
         # 4. fold u1 into U1[pc] (challenge binds pc)
+        from ..native import r1cs as _nr
+        shape1 = pp.shapes1[pc]
+        abc2 = None
         with _tspan("cross_term1"):
-            t1 = cross_term(pp.shapes1[pc], self.U1[pc], self.W1[pc],
-                            u1.x, w1vec)
+            if _nr.available():
+                from .nova import z_vector
+                if self._abc1[pc] is None:
+                    # init from the CURRENT accumulator (nonzero after
+                    # a resume)
+                    self._abc1[pc] = _nr.matvecs_pv(
+                        shape1, z_vector(shape1, self.U1[pc].x,
+                                         self.W1[pc].w, self.U1[pc].u))
+                z2 = z_vector(shape1, u1.x, w1vec, 1)
+                t1, abc2 = _nr.cross_term_cached(
+                    shape1, self._abc1[pc], self.U1[pc].u, z2)
+            else:
+                t1 = cross_term(shape1, self.U1[pc], self.W1[pc],
+                                u1.x, w1vec)
         with _tspan("commit_t1"):
             comm_t1 = pp.ck1.commit(t1)
         r1 = cycle_fold_challenge(pp.curve1, pp.pp_digest, self.U1[pc],
@@ -247,6 +267,9 @@ class SnCycleSNARK:
                                     r1, p1)
         with _tspan("fold_witness1"):
             W1_next[pc] = fold_witness(p1, self.W1[pc], w1vec, t1, r1)
+            if abc2 is not None:
+                self._abc1[pc] = _nr.vec_rlc_pv(
+                    p1, self._abc1[pc], abc2, r1)
 
         # 5. new secondary chain hash over the accumulator LIST
         g_next = sn_state2(pp.curve1, pp.pp_digest, self.i + 1, U1_next,
