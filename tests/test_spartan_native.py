@@ -99,3 +99,38 @@ def test_native_mvec_and_matrix_evals_match_python():
     assert ns.spartan_mvec(shape, chi_rx, rr, n_half) == m_vec
     assert ns.matrix_evals(shape, chi_rx, chi_ry, n_half) == \
         sp._matrix_evals(shape, chi_rx, chi_ry, n_half)
+
+
+def test_cross_term_cached_matches_uncached():
+    """cross_term_cached (cached accumulator matvecs) == the plain
+    kernel, and the returned abc2 equals the strict instance's
+    matvecs (so the forward-fold abc1' = abc1 + r*abc2 is exact)."""
+    import random
+    from lurk_tpu.native import r1cs as nr
+    from lurk_tpu.native.r1cs import PackedVec
+    from lurk_tpu.proof.nova import (
+        RelaxedInstance, RelaxedWitness, cross_term, z_vector,
+    )
+    shape = R1CSShape(_cube(BN256_SCALAR, 3))
+    p = shape.p
+    r = random.Random(4)
+    x1 = [r.randrange(p) for _ in range(shape.num_inputs - 1)]
+    w1 = [r.randrange(p) for _ in range(shape.num_aux)]
+    u1 = r.randrange(p)
+    inst1 = RelaxedInstance(None, None, x1, u1)
+    wit1 = RelaxedWitness(w1, [0] * shape.num_constraints)
+    cs2 = _cube(BN256_SCALAR, 7)
+    want = cross_term(shape, inst1, wit1, cs2.inputs[1:],
+                      list(cs2.aux))
+    z1 = z_vector(shape, x1, w1, u1)
+    abc1 = nr.matvecs_pv(shape, z1)
+    z2 = z_vector(shape, cs2.inputs[1:], list(cs2.aux), 1)
+    t, abc2 = nr.cross_term_cached(shape, abc1, u1, z2)
+    assert t.ints() == list(want)
+    a2, b2, c2 = shape.matvecs(z2)
+    assert abc2.ints() == list(a2) + list(b2) + list(c2)
+    # forward fold equals recomputation at the folded z
+    rr = r.randrange(p)
+    folded = nr.vec_rlc_pv(p, abc1, abc2, rr)
+    z1f = [(a + rr * b) % p for a, b in zip(z1, z2)]
+    assert folded.ints() == nr.matvecs_pv(shape, z1f).ints()
