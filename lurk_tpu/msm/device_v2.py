@@ -261,7 +261,9 @@ def _msm_kernel(curve: Curve, lanes_w: int, c_bits: int,
 
     win_id = jnp.repeat(jnp.arange(n_win, dtype=jnp.int32), lanes_w)
     table_rows = n_win * stride
-    btab0 = jnp.asarray(_ident_rows(curve, table_rows))
+    # one extra dump row keeps every scatter index in bounds, so the
+    # per-step scatters skip XLA's bounds masking
+    btab0 = jnp.asarray(_ident_rows(curve, table_rows + 1))
     ident = E.identity(ctx, lanes_tot)
     L = F.L
 
@@ -278,7 +280,8 @@ def _msm_kernel(curve: Curve, lanes_w: int, c_bits: int,
         hrows = jnp.where(rec_head[:, None], acc_rows, hrows)
         flush = closing & seen
         scat = jnp.where(flush, win_id * stride + cur, table_rows)
-        btab = btab.at[scat].set(acc_rows, mode="drop")
+        btab = btab.at[scat].set(acc_rows,
+                                 mode="promise_in_bounds")
         seen = seen | closing
         acc = pt_select(is_new[None, :], ident, acc)
         idx = vl >> 1
@@ -328,11 +331,12 @@ def _msm_kernel(curve: Curve, lanes_w: int, c_bits: int,
     last = (bk != nextk) & (bk != 0)
     wid2 = jnp.repeat(jnp.arange(n_win, dtype=jnp.int32), m)
     scat = jnp.where(last, wid2 * stride + bk, table_rows)
-    btab = btab.at[scat].set(brows, mode="drop")
+    btab = btab.at[scat].set(brows, mode="promise_in_bounds")
 
     # 5. bucket reduction: running-sum over groups (buckets 1..n_buckets
     # = groups*group_g exactly; id b = k*g + j, j in [1, g])
-    slab = btab.reshape(n_win, stride, 66)[:, 1:1 + n_buckets]
+    slab = btab[:table_rows].reshape(n_win, stride,
+                                     66)[:, 1:1 + n_buckets]
     slab = slab.reshape(n_win, groups, group_g, 66) \
                .transpose(2, 0, 1, 3).reshape(group_g, n_win * groups, 66)
     gident = E.identity(ctx, n_win * groups)
