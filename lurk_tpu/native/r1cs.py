@@ -287,3 +287,32 @@ def matvecs_pv(shape, z) -> "PackedVec":
     lib.lurk_r1cs_matvecs(ctypes.c_long(h), _u64p(zp),
                           ctypes.c_int(_threads()), _u64p(out))
     return PackedVec(out, 3 * m, shape.p)
+
+
+def matvecs_padded_pv(shape, z, m_pad: int):
+    """(Az, Bz, Cz) as three zero-padded PackedVecs (no int round-trip
+    — feeds the native sumcheck directly)."""
+    lib = load("r1cs")
+    h = handle_for(shape)
+    m = shape.num_constraints
+    zp = _as_packed(z, shape.p)
+    out = np.zeros(3 * m * 4, dtype=np.uint64)
+    lib.lurk_r1cs_matvecs(ctypes.c_long(h), _u64p(zp),
+                          ctypes.c_int(_threads()), _u64p(out))
+    pad = np.zeros(4 * (m_pad - m), dtype=np.uint64)
+    return tuple(
+        PackedVec(np.concatenate([out[4 * m * k:4 * m * (k + 1)], pad]),
+                  m_pad, shape.p)
+        for k in range(3))
+
+
+def pad_pv(vec, n: int, p: int) -> "PackedVec":
+    """Zero-pad a vector to length n as a PackedVec."""
+    arr = _as_packed(vec, p)
+    m = len(vec)
+    assert m <= n
+    if m == n:
+        return PackedVec(arr, n, p)
+    return PackedVec(
+        np.concatenate([arr, np.zeros(4 * (n - m), dtype=np.uint64)]),
+        n, p)

@@ -31,10 +31,11 @@ def _mod_r2(p: int):
     return mod, r2
 
 
-def to_mont(vec: Sequence[int], p: int) -> np.ndarray:
+def to_mont(vec, p: int) -> np.ndarray:
+    from .r1cs import _as_packed
     lib = load("spartan")
     mod, r2 = _mod_r2(p)
-    arr = _pack_vec(vec, p)
+    arr = _as_packed(vec, p)
     out = np.empty_like(arr)
     lib.lurk_vec_to_mont(_u64p(mod), _u64p(r2),
                          ctypes.c_uint64(len(vec)), _u64p(arr),

@@ -115,11 +115,16 @@ def prove(pp: PublicParams, inst: RelaxedInstance,
     tau = [tr.squeeze() % p for _ in range(s_x)]
 
     z = z_vector(shape, inst.x, wit.w, inst.u)
-    az, bz, cz = shape.matvecs(z)
-    az, bz, cz = (pad_pow2(az, m_pad), pad_pow2(bz, m_pad),
-                  pad_pow2(cz, m_pad))
-    e_vec = pad_pow2([v % p for v in wit.e], m_pad)
     use_native = native_sc.available()
+    if use_native and shape.num_constraints >= 256:
+        from ..native import r1cs as _nr
+        az, bz, cz = _nr.matvecs_padded_pv(shape, z, m_pad)
+        e_vec = _nr.pad_pv(wit.e, m_pad, p)
+    else:
+        az, bz, cz = shape.matvecs(z)
+        az, bz, cz = (pad_pow2(az, m_pad), pad_pow2(bz, m_pad),
+                      pad_pow2(cz, m_pad))
+        e_vec = pad_pow2([v % p for v in wit.e], m_pad)
     eq_tau = (native_sc.chi_table(tau, p) if use_native
               else chi_table(tau, p))
     u = inst.u % p
@@ -159,8 +164,16 @@ def prove(pp: PublicParams, inst: RelaxedInstance,
                 for j, val in lc.items():
                     idx = _col_index(shape, n_half, j)
                     m_vec[idx] = (m_vec[idx] + w_coeff * val) % p
-    z_split = (_pub_vector(shape, inst, n_half)
-               + pad_pow2([v % p for v in wit.w], n_half))
+    if use_native:
+        from ..native.r1cs import pv_concat
+        z_split = pv_concat(_pub_vector(shape, inst, n_half),
+                            _nr.pad_pv(wit.w, n_half, p)
+                            if shape.num_constraints >= 256 else
+                            pad_pow2([v % p for v in wit.w], n_half),
+                            p)
+    else:
+        z_split = (_pub_vector(shape, inst, n_half)
+                   + pad_pow2([v % p for v in wit.w], n_half))
     claim2 = (az_r + r * bz_r + r2 * cz_r) % p
 
     def comb2(vals):
@@ -173,9 +186,13 @@ def prove(pp: PublicParams, inst: RelaxedInstance,
         sc2_polys, ry, _finals2 = sumcheck_prove(
             claim2, s_y, [m_vec, z_split], comb2, 2, p, chal)
 
-    w_padded = pad_pow2([v % p for v in wit.w], n_half)
-    w_eval = (native_sc.mle_eval(w_padded, ry[1:], p) if use_native
-              else mle_eval(w_padded, ry[1:], p))
+    if use_native:
+        from ..native.r1cs import pad_pv
+        w_padded = pad_pv(wit.w, n_half, p)
+        w_eval = native_sc.mle_eval(w_padded, ry[1:], p)
+    else:
+        w_padded = pad_pow2([v % p for v in wit.w], n_half)
+        w_eval = mle_eval(w_padded, ry[1:], p)
     tr.absorb_scalar(w_eval)
 
     if _uses_kzg(pp):
