@@ -13,7 +13,7 @@ Tower: Fp2 = Fp[u]/(u^2+1), Fp6 = Fp2[v]/(v^3 - (9+u)),
 Fp12 = Fp6[w]/(w^2 - v). D-type twist E': y^2 = x^3 + 3/(9+u).
 
 Self-checks: bilinearity e(aP, bQ) = e(P, Q)^(ab) pinned in
-tests/test_pairing.py.
+tests/test_hyperkzg.py (test_pairing_bilinearity).
 """
 
 from __future__ import annotations

@@ -14,7 +14,13 @@ time).
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu (not setdefault): an ambient JAX_PLATFORMS=axon with
+# PALLAS_AXON_POOL_IPS unset would otherwise leak through and fail
+# every device test with "Unable to initialize backend 'axon'".
+# jax is not yet imported at conftest import time unless the axon
+# sitecustomize ran (PALLAS_AXON_POOL_IPS set — handled by the
+# re-exec below), so a plain override is effective here.
+os.environ["JAX_PLATFORMS"] = "cpu"
 # fork-pool witness gen can deadlock after the XLA client initializes
 # (earlier tests touch jax); keep test runs single-process
 os.environ.setdefault("LURK_TPU_PERF", "parallel-steps-only")
