@@ -215,13 +215,15 @@ def enforce_product_and_sum(cs: ConstraintSystem, a: Num, b: Num,
 
 
 def bool_and(cs: ConstraintSystem, a: Bool, b: Bool) -> Bool:
+    """bellpepper AllocatedBit::and parity: ONE constraint a*b = r.
+    r's booleanity is implied by the inputs' (no extra constraint)."""
     if a.num is None:
         return b if a.const_val else Bool.false()
     if b.num is None:
         return a if b.const_val else Bool.false()
-    r = alloc_bit(cs, a.value and b.value)
-    cs.enforce(a.lc(cs), b.lc(cs), r.num.lc)
-    return r
+    r = alloc_num(cs, 1 if (a.value and b.value) else 0)
+    cs.enforce(a.lc(cs), b.lc(cs), r.lc)
+    return Bool(r)
 
 
 def bool_or(cs: ConstraintSystem, a: Bool, b: Bool) -> Bool:
@@ -255,28 +257,54 @@ def kary_and(cs: ConstraintSystem, bits: List[Bool]) -> Bool:
 # -- bit decomposition -----------------------------------------------------------
 
 
+def alloc_bit_conditionally(cs: ConstraintSystem, value: bool,
+                            must_be_false: Bool) -> Bool:
+    """bellpepper AllocatedBit::alloc_conditionally: ONE constraint
+    (1 - mbf - a) * a = 0 fuses booleanity with mbf -> a = 0."""
+    n = alloc_num(cs, 1 if value else 0)
+    one = {ConstraintSystem.ONE_VAR: 1}
+    lc = lc_sub(lc_sub(one, must_be_false.lc(cs), cs.p), n.lc, cs.p)
+    cs.enforce(lc, n.lc, {})
+    return Bool(n)
+
+
 def to_bits_le_strict(cs: ConstraintSystem, num: Num) -> List[Bool]:
-    """Strict little-endian bit decomposition: allocates NUM_BITS booleans,
-    enforces bits represent the CANONICAL form (lexicographically <= p-1,
-    bellpepper field_into_allocated_bits_le_strict) and packs to num."""
+    """Strict little-endian bit decomposition at bellpepper's exact
+    constraint cost (field_into_allocated_bits_le_strict + pack):
+    1-bits of m = p-1 get plain boolean allocs feeding a running kary
+    AND (``last_run``); 0-bits use the fused alloc_conditionally
+    constraint (booleanity AND ``last_run -> bit = 0`` in one row);
+    plus one packing constraint. BN256: 354 constraints — matching the
+    reference's empirical bit_decomp_cost table
+    (/root/reference/src/lem/circuit.rs:1708-1714; slot synthesis at
+    circuit.rs:241)."""
     p = cs.p
     n_bits = cs.field.num_bits
     v = num.value % p
-    bits = [alloc_bit(cs, bool((v >> i) & 1)) for i in range(n_bits)]
-
-    # strictness: MSB-first comparison against p-1
     m = p - 1
-    last_run = Bool.true()
+    bits_msb: List[Bool] = []
+    last_run: Optional[Bool] = None     # None => constant true
     current_run: List[Bool] = []
     for i in range(n_bits - 1, -1, -1):
+        bval = bool((v >> i) & 1)
         if (m >> i) & 1:
-            current_run.append(bits[i])
+            b = alloc_bit(cs, bval)
+            current_run.append(b)
         else:
             if current_run:
-                last_run = kary_and(cs, [last_run] + current_run)
+                if last_run is not None:
+                    current_run.insert(0, last_run)
+                last_run = kary_and(cs, current_run)
                 current_run = []
-            # last_run -> bits[i] == 0
-            cs.enforce(last_run.lc(cs), bits[i].lc(cs), {})
+            if last_run is None:
+                # m's MSB is 1 for every supported field, so a 0-bit
+                # before any run is unreachable; keep it sound anyway
+                b = alloc_bit(cs, bval)
+                assert not bval or v <= m
+            else:
+                b = alloc_bit_conditionally(cs, bval, last_run)
+        bits_msb.append(b)
+    bits = bits_msb[::-1]
 
     # packing: sum 2^i bits[i] == num
     pack: LC = {}

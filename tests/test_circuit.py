@@ -65,11 +65,14 @@ def test_blank_frame_shape_matches(store):
 
 
 def test_circuit_size_pinned(store):
-    """Pin OUR universal step circuit size (the reference's is
-    11141 constraints / 9119 aux with neptune's optimized Poseidon;
-    ours differs by design — free constants, 3-constraint S-boxes)."""
+    """Pin OUR universal step circuit size — BELOW the reference's
+    11141 constraints / 9119 aux (eval.rs:1966-1967): free constants,
+    3-constraint S-boxes, bellpepper-cost strict bit decomposition
+    (354 on BN256), 1-constraint Boolean::and."""
     blank = Frame.blank_frame(eval_step(), 0, store)
     cs = synth(store, blank, check=False)
     # snapshot (update deliberately when the circuit changes):
-    assert cs.num_constraints == 11995, cs.num_constraints
+    assert cs.num_constraints == 11057, cs.num_constraints
     assert cs.num_aux == 9029, cs.num_aux
+    assert cs.num_constraints <= 11141, "reference parity bar"
+    assert cs.num_aux <= 9119, "reference parity bar"
