@@ -241,7 +241,19 @@ def _msm_kernel(curve: Curve, lanes_w: int, c_bits: int,
                 points, words):
     """points: [n, 66] int32; words: [n, 8] int32 scalar words
     (digitized on device). Returns a [1, 66] row (projective,
-    Montgomery)."""
+    Montgomery).
+
+    v3 bucket accumulation (r5): the scan no longer carries or
+    scatters into the bucket table — TPUs hate per-lane scatters
+    (measured +1.24 s/2^20, and the in-scan scatter was also what made
+    the XLA:CPU compile pathological). Instead every step EMITS its
+    (closing key, flush flag, accumulator row) densely as scan outputs
+    (int16 rows — accumulator columns are bounded <~9.2k by
+    ec12.accum_bounds; sequential HBM writes are ~free), and a gather
+    post-pass rebuilds the table: each bucket's unique interior-close
+    position is computable from the sorted keys alone (hi_b =
+    searchsorted(keys, b, 'right'); close at step hi_b%chunk of lane
+    hi_b//chunk), so the table is one validated gather — no scatter."""
     ctx = E.ec_ctx(curve)
     n_win, n_buckets, group_g, groups = _cfg(c_bits)
     stride = n_buckets + 1
@@ -253,23 +265,21 @@ def _msm_kernel(curve: Curve, lanes_w: int, c_bits: int,
     buckets, negidx = _device_digits(words, c_bits)
 
     # 1-2. sort each window by bucket id
-    keys, vals = jax.lax.sort_key_val(buckets, negidx, dimension=1)
-    keys = keys.reshape(n_win, lanes_w, chunk).transpose(2, 0, 1) \
-               .reshape(chunk, lanes_tot)
+    keys_sorted, vals = jax.lax.sort_key_val(buckets, negidx, dimension=1)
+    keys = keys_sorted.reshape(n_win, lanes_w, chunk).transpose(2, 0, 1) \
+                      .reshape(chunk, lanes_tot)
     vals = vals.reshape(n_win, lanes_w, chunk).transpose(2, 0, 1) \
                .reshape(chunk, lanes_tot)
 
-    win_id = jnp.repeat(jnp.arange(n_win, dtype=jnp.int32), lanes_w)
     table_rows = n_win * stride
-    # one extra dump row keeps every scatter index in bounds, so the
-    # per-step scatters skip XLA's bounds masking
-    btab0 = jnp.asarray(_ident_rows(curve, table_rows + 1))
     ident = E.identity(ctx, lanes_tot)
     L = F.L
+    for _, cmax in E.accum_bounds(curve):
+        assert cmax < (1 << 15), "int16 emission requires cmax < 2^15"
 
-    # 3. chunked serial scan with in-scan collision-free scatter
+    # 3. chunked serial scan with dense flush emission
     def step(carry, inp):
-        (ax, ay, az, cur, seen, headk, hrows, btab) = carry
+        (ax, ay, az, cur, seen, headk, hrows) = carry
         key, vl = inp
         acc = E.assume_pt(curve, ax, ay, az)
         is_new = key != cur
@@ -279,9 +289,6 @@ def _msm_kernel(curve: Curve, lanes_w: int, c_bits: int,
         acc_rows = _flat(acc)
         hrows = jnp.where(rec_head[:, None], acc_rows, hrows)
         flush = closing & seen
-        scat = jnp.where(flush, win_id * stride + cur, table_rows)
-        btab = btab.at[scat].set(acc_rows,
-                                 mode="promise_in_bounds")
         seen = seen | closing
         acc = pt_select(is_new[None, :], ident, acc)
         idx = vl >> 1
@@ -292,17 +299,45 @@ def _msm_kernel(curve: Curve, lanes_w: int, c_bits: int,
                             rows[:, L:2 * L]).T, ctx.p, 4096)
         added = ec_madd(ctx, acc, x2, y2)
         out = pt_select((key != 0)[None, :], added, acc)
-        return (*_carry(out), key, seen, headk, hrows, btab), None
+        emit = (cur, flush, acc_rows.astype(jnp.int16))
+        return (*_carry(out), key, seen, headk, hrows), emit
 
     init = (*_carry(ident),
             jnp.zeros((lanes_tot,), jnp.int32),
             jnp.zeros((lanes_tot,), bool),
             keys[0],                              # head key := first key
-            jnp.asarray(_ident_rows(curve, lanes_tot)), btab0)
+            jnp.asarray(_ident_rows(curve, lanes_tot)))
     import os
     unroll = int(os.environ.get("LURK_MSM_SCAN_UNROLL", "1"))
-    (ax, ay, az, cur, seen, headk, hrows, btab), _ = jax.lax.scan(
-        step, init, (keys, vals), unroll=unroll)
+    (ax, ay, az, cur, seen, headk, hrows), \
+        (em_key, em_flush, em_rows) = jax.lax.scan(
+            step, init, (keys, vals), unroll=unroll)
+
+    # 3b. interior-table rebuild: one validated gather per bucket slot.
+    # hi_b (first stream position AFTER bucket b's run) locates b's
+    # unique interior close; the emitted (key, flush) pair at that
+    # position validates it (mismatch => boundary-handled or empty).
+    bvals = jnp.arange(1, n_buckets + 1, dtype=jnp.int32)
+    hi = jax.vmap(
+        lambda a: jnp.searchsorted(a, bvals, side="right"))(keys_sorted)
+    hi = hi.astype(jnp.int32)                    # [n_win, n_buckets]
+    step_idx = hi % chunk
+    lane_loc = jnp.minimum(hi // chunk, lanes_w - 1)
+    valid = (hi < n) & (step_idx != 0)
+    glane = (jnp.arange(n_win, dtype=jnp.int32)[:, None] * lanes_w
+             + lane_loc)
+    flat = step_idx * lanes_tot + glane          # [n_win, n_buckets]
+    g_key = em_key.reshape(-1)[flat]
+    g_flush = em_flush.reshape(-1)[flat]
+    g_rows = em_rows.reshape(-1, 66)[flat]       # int16
+    use = valid & g_flush & (g_key == bvals[None, :])
+    id_row = jnp.asarray(_ident_rows(curve, 1))[0]
+    slab_rows = jnp.where(use[..., None], g_rows.astype(jnp.int32),
+                          id_row[None, None, :])  # [n_win, n_buckets, 66]
+    btab = jnp.concatenate(
+        [jnp.broadcast_to(id_row[None, None, :], (n_win, 1, 66)),
+         slab_rows], axis=1).reshape(table_rows, 66)
+    btab = jnp.concatenate([btab, id_row[None, :]], axis=0)
 
     # 4. boundary combine: interleave (head, tail) per lane (bucket-
     # sorted), segmented inclusive sum, last-of-segment scatter.
