@@ -59,6 +59,71 @@ COL_BITS = 18              # REDC input column budget (f32-exact <= 23)
 _MUL_OPERAND_CMAX = 6900   # 22 * 6900^2 < 2^31 and one prep pass fits
 
 
+# ---------------------------------------------------------------------------
+# const pool: lets a pallas kernel receive this module's embedded
+# constants (REDC matrices, subtraction offsets, fe_const limb columns)
+# as explicit kernel inputs. pallas_call rejects kernels that capture
+# large constants; trace the EC body once in "collect" mode to gather
+# the deduped numpy arrays, then re-trace inside the kernel in "replay"
+# mode with the corresponding ref reads. Trace order is deterministic,
+# and arrays are keyed by content, so collect and replay agree.
+# ---------------------------------------------------------------------------
+
+
+class ConstPool:
+    def __init__(self):
+        self.arrays: list = []          # deduped numpy arrays
+        self._index = {}                # content key -> slot
+        self.replay: Optional[list] = None
+
+    def _key(self, arr: np.ndarray):
+        return (arr.shape, str(arr.dtype), arr.tobytes())
+
+    def get(self, arr) -> jnp.ndarray:
+        a = np.asarray(arr)
+        k = self._key(a)
+        slot = self._index.get(k)
+        if slot is None:
+            assert self.replay is None, \
+                "replay saw a constant absent from the collect pass"
+            slot = len(self.arrays)
+            self._index[k] = slot
+            self.arrays.append(a)
+        if self.replay is not None:
+            return self.replay[slot]
+        return jnp.asarray(a)
+
+
+_POOL: Optional[ConstPool] = None
+
+
+class const_pool:
+    """Context manager: route this module's constants through `pool`
+    (replay list = traced values aligned with pool.arrays)."""
+
+    def __init__(self, pool: ConstPool, replay=None):
+        self.pool = pool
+        self.replay = replay
+
+    def __enter__(self):
+        global _POOL
+        self._prev = _POOL
+        self.pool.replay = self.replay
+        _POOL = self.pool
+        return self.pool
+
+    def __exit__(self, *exc):
+        global _POOL
+        _POOL = self._prev
+        self.pool.replay = None
+
+
+def fetch_const(arr) -> jnp.ndarray:
+    if _POOL is None:
+        return jnp.asarray(arr)
+    return _POOL.get(arr)
+
+
 def _limb_col(v: int, n: int = L) -> np.ndarray:
     return np.array([(v >> (LIMB_BITS * i)) & LIMB_MASK for i in range(n)],
                     dtype=np.int32).reshape(n, 1)
@@ -166,7 +231,7 @@ def fe_const(ctx: Fe12Ctx, value_mont: int, batch: int,
     if dry:
         return Fe(None, ctx.p, LIMB_MASK)
     col = _limb_col(value_mont)
-    arr = jnp.broadcast_to(jnp.asarray(col), (L, batch))
+    arr = jnp.broadcast_to(fetch_const(col), (L, batch))
     return Fe(arr, ctx.p, LIMB_MASK)
 
 
@@ -211,7 +276,7 @@ def fe_sub(ctx: Fe12Ctx, a: Fe, b: Fe) -> Fe:
     if a.cols is None:
         arr = None
     else:
-        t = a.cols + jnp.asarray(q_limbs) - b.cols
+        t = a.cols + fetch_const(q_limbs) - b.cols
         arr = _signed_pass(t, 2)
     return Fe(arr, vmax, cmax, cmin)
 
@@ -254,10 +319,16 @@ def fe_mul(ctx: Fe12Ctx, a: Fe, b: Fe) -> Fe:
             # fold the spill column c43 in [-1,1] down as (c43+1)*W - W,
             # the -W pre-merged into the all-positive offset F = k*p - W
             u = t[2 * L - 1:] + 1                    # [1, B] in {0,1,2}
-            t = t[:2 * L - 1] + jnp.asarray(ctx.f_limbs)
-            uw = u * jnp.asarray(ctx.w_limbs)        # [L, B]
+            t = t[:2 * L - 1] + fetch_const(ctx.f_limbs)
+            # two single-axis broadcasts (sublane, then lane): Mosaic
+            # cannot lower the fused [L,1]x[1,B] outer-product form
+            ub = jnp.broadcast_to(u, (L, u.shape[1]))
+            uw = ub * fetch_const(ctx.w_limbs)       # [L, B]
             t = jnp.concatenate([t[:L] + uw, t[L:]], axis=0)
-        out = N12.redc_cols(ctx.mats, t.astype(jnp.uint32), COL_BITS)
+        mm, ph, wr, ur, np_ = ctx.mats
+        mats = (fetch_const(mm), fetch_const(ph), fetch_const(wr),
+                fetch_const(ur), np_)
+        out = N12.redc_cols(mats, t.astype(jnp.uint32), COL_BITS)
         out = out.astype(jnp.int32)
     out_vmax = (t_vmax_true + ctx.m_value_max * ctx.p) // R + 2
     c_bound = (t_lo_colmax >> LIMB_BITS) + 2
