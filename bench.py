@@ -143,12 +143,60 @@ def main() -> None:
     hashes_per_s = batch * n_iters / dt
 
     baseline = 1e7  # BASELINE.json north star: 1e7 Poseidon-4 hashes/s/chip
-    print(json.dumps({
+    line = {
         "metric": "poseidon4_hashes_per_s",
         "value": round(hashes_per_s, 1),
         "unit": "hashes/s",
         "vs_baseline": round(hashes_per_s / baseline, 4),
-    }))
+    }
+    try:
+        line.update(_msm_bench())
+    except Exception:
+        pass
+    print(json.dumps(line))
+
+
+def _msm_bench() -> dict:
+    """Secondary metric on the same line: the 2^20 BN254 device MSM
+    (v3 kernel), single-shot and pipelined (the prover commit
+    pattern). BASELINE.json north star: <100 ms on v5e-8, i.e.
+    <~800 ms/chip-share."""
+    import random
+    from lurk_tpu.curves.weierstrass import BN254_G1
+    from lurk_tpu.msm.device_v2 import MsmTable
+    curve = BN254_G1
+    n = 1 << 20
+    r = random.Random(11)
+    pts, acc = [], curve.generator
+    for _ in range(1024):
+        acc = curve.add(acc, curve.generator)
+        pts.append(acc)
+    tab = MsmTable.build(curve, (pts * (n // 1024))[:n])
+    # correctness spot-check at a small size against the host oracle
+    small = [r.randrange(curve.order) for _ in range(64)]
+    assert tab.msm(small + [0] * (n - 64)) == \
+        curve.pippenger(small, (pts * (n // 1024))[:64])
+
+    def _mat(out):
+        return float(jnp.sum(out[..., :1].astype(jnp.float32)))
+
+    sc = [r.randrange(curve.order) for _ in range(n)]
+    _mat(tab.msm_async(sc))                     # warm the executable
+    ts = []
+    for _ in range(2):
+        sc = [r.randrange(curve.order) for _ in range(n)]
+        t0 = time.perf_counter()
+        _mat(tab.msm_async(sc))
+        ts.append(time.perf_counter() - t0)
+    single = min(ts)
+    scs = [[r.randrange(curve.order) for _ in range(n)] for _ in range(4)]
+    t0 = time.perf_counter()
+    outs = [tab.msm_async(s) for s in scs]
+    for o in outs:
+        _mat(o)
+    pipe = (time.perf_counter() - t0) / 4
+    return {"msm_2e20_ms": round(single * 1e3, 1),
+            "msm_2e20_pipelined_ms": round(pipe * 1e3, 1)}
 
 
 if __name__ == "__main__":

@@ -85,14 +85,16 @@ class CommitmentKey:
         return CommitmentKey(curve, load_generators(curve, label, n))
 
     def _device_table(self):
-        """Device-resident MsmTable over this key's generators (v2
-        sorted-segment kernel). Opt-in via LURK_TPU_DEVICE_COMMITS=1:
-        through the axon tunnel the device MSM is ~at parity with the
-        4-core host (PERF.md: 3.22s vs 3.40s @ 2^20), so routing is a
-        win only on locally-attached chips or when the host cores are
-        saturated by witness generation."""
+        """Device-resident MsmTable over this key's generators (v3
+        dense-emission kernel). Default ON when an accelerator is
+        attached and the key is big enough to win (r5: 1.46 s/msm
+        pipelined at 2^20 vs ~2.9 s on the contended 4-core host —
+        and the host cores are freed for witness/cross-term work).
+        LURK_TPU_DEVICE_COMMITS=0 forces the host path,
+        =1 forces the device path regardless of size."""
         import os
-        if not os.environ.get("LURK_TPU_DEVICE_COMMITS"):
+        flag = os.environ.get("LURK_TPU_DEVICE_COMMITS", "")
+        if flag == "0":
             return None
         tab = getattr(self, "_dev_tab", None)
         if tab is None:
@@ -105,14 +107,107 @@ class CommitmentKey:
             object.__setattr__(self, "_dev_tab", tab)
         return tab or None
 
+    def _mesh_table(self):
+        """Sharded per-device table over the prover mesh (SURVEY §2.4:
+        per-step commits ride the mesh when one is active — the
+        nova.rs:297-332 parallel-commit analog). Built once per key."""
+        from ..parallel.sharding import claim_cpu_msm_slot, prover_mesh
+        mesh = prover_mesh()
+        if mesh is None:
+            return None
+        tab = getattr(self, "_mesh_tab", None)
+        if tab is None:
+            if not claim_cpu_msm_slot(self.curve.name):
+                # XLA:CPU fits one mesh-MSM executable per process;
+                # this curve's commits take the native host path
+                object.__setattr__(self, "_mesh_tab", False)
+            else:
+                from ..parallel.sharding import ShardedMsmTable
+                tab = ShardedMsmTable(mesh, self.curve, self.gens)
+                object.__setattr__(self, "_mesh_tab", tab)
+        return tab or None
+
+    def _race_routes(self, tab, vec) -> str:
+        """Time one real commit each way; both results must agree
+        (doubles as a device-parity check at prover scale)."""
+        import time
+        from ..msm import ec12 as E12
+        from ..msm.device_v2 import _unflat
+        from ..native import msm as nmsm
+        t0 = time.perf_counter()
+        out = tab.msm_async(vec)
+        dev_pt = E12.pt_from_device(self.curve,
+                                    _unflat(self.curve, out))[0]
+        t_dev = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        if nmsm.available():
+            packed = getattr(self, "_packed", None)
+            if packed is None or packed.shape[0] < len(self.gens):
+                packed = nmsm.pack_points(self.gens)
+                object.__setattr__(self, "_packed", packed)
+            host_pt = nmsm.msm_packed(self.curve, vec, packed)
+        else:
+            host_pt = self.curve.pippenger(vec, self.gens[:len(vec)])
+        t_host = time.perf_counter() - t0
+        assert dev_pt == host_pt, "device commit != host commit"
+        return "device" if t_dev < t_host else "host"
+
+    def commit_async(self, vec: Sequence[int]):
+        """Dispatch the commit without blocking when the DEVICE route
+        is active; returns a zero-arg resolver. Lets the prover overlap
+        a witness commit (device) with host cross-term work — the
+        commit-level analog of the reference's witgen-parallel folding
+        (nova.rs:297-332)."""
+        import os
+        n = len(vec)
+        _flag = os.environ.get("LURK_TPU_DEVICE_COMMITS", "")
+        route = getattr(self, "_route", None)
+        if n >= 65536 and _flag != "0" and \
+                (route == "device" or _flag == "1"):
+            tab = self._device_table()
+            if tab is not None:
+                from ..msm import ec12 as E12
+                from ..msm.device_v2 import _unflat
+                out = tab.msm_async(vec)
+
+                def resolve(out=out):
+                    return E12.pt_from_device(
+                        self.curve, _unflat(self.curve, out))[0]
+                return resolve
+        pt = self.commit(vec)
+        return lambda: pt
+
     def commit(self, vec: Sequence[int]) -> Affine:
         n = len(vec)
         assert n <= len(self.gens), "commitment key too small"
-        tab = self._device_table() if n >= 65536 else None
+        mesh_tab = self._mesh_table() if n >= 64 else None
+        if mesh_tab is not None:
+            import jax
+            cpu = jax.default_backend() == "cpu"
+            return mesh_tab.msm([v % self.curve.order for v in vec],
+                                c=8 if cpu else 16,
+                                lanes_w=8 if cpu else 512)
+        import os
+        _flag = os.environ.get("LURK_TPU_DEVICE_COMMITS", "")
+        tab = None
+        if n >= 65536 and _flag != "0":
+            tab = self._device_table()
+            if tab is not None and _flag != "1":
+                # first big commit on this key: race device vs host once
+                # and remember the winner at this size class (the
+                # "routes automatically when the device benches faster"
+                # contract; tunnel RTT and host-core contention make a
+                # static threshold wrong on both sides)
+                route = getattr(self, "_route", None)
+                if route is None:
+                    route = self._race_routes(tab, list(vec))
+                    object.__setattr__(self, "_route", route)
+                if route != "device":
+                    tab = None
         if tab is not None:
             from ..msm import ec12 as E12
             from ..msm.device_v2 import _unflat
-            out = tab.msm_async(list(vec))
+            out = tab.msm_async(vec)
             return E12.pt_from_device(self.curve,
                                       _unflat(self.curve, out))[0]
         from ..native import msm as nmsm

@@ -244,7 +244,10 @@ class CycleSNARK:
                 "primary augmented circuit shape drift"
         from ..native.r1cs import PackedVec
         w1vec = PackedVec.pack(cs1.aux, p1)
-        u1 = R1CSInstance(pp.ck1.commit(w1vec), cs1.inputs[1:])
+        # dispatch the witness commit asynchronously (device route):
+        # the host cross-term below overlaps the device MSM
+        comm_w1_res = pp.ck1.commit_async(w1vec)
+        u1x = cs1.inputs[1:]
 
         # 4. fold u1 into U1 (verified by the secondary circuit)
         from ..native import r1cs as _nr
@@ -257,12 +260,14 @@ class CycleSNARK:
                 self._abc1 = _nr.matvecs_pv(
                     pp.shape1, z_vector(pp.shape1, self.U1.x,
                                         self.W1.w, self.U1.u))
-            z2 = z_vector(pp.shape1, u1.x, w1vec, 1)
+            z2 = z_vector(pp.shape1, u1x, w1vec, 1)
             t1, abc2 = _nr.cross_term_cached(pp.shape1, self._abc1,
                                              self.U1.u, z2)
         else:
-            t1 = cross_term(pp.shape1, self.U1, self.W1, u1.x, w1vec)
-        comm_t1 = pp.ck1.commit(t1)
+            t1 = cross_term(pp.shape1, self.U1, self.W1, u1x, w1vec)
+        comm_t1_res = pp.ck1.commit_async(t1)
+        u1 = R1CSInstance(comm_w1_res(), u1x)
+        comm_t1 = comm_t1_res()
         r1 = cycle_fold_challenge(pp.curve1, pp.pp_digest, self.U1, u1,
                                   comm_t1)
         U1_next = fold_instance(pp.curve1, self.U1, u1, comm_t1, r1, p1)

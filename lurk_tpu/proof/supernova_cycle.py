@@ -235,8 +235,11 @@ class SnCycleSNARK:
                 f"primary circuit {pc} shape drift"
         from ..native.r1cs import PackedVec
         w1vec = PackedVec.pack(cs1.aux, p1)   # pack once, reuse below
-        with _tspan("commit_w1"):
-            u1 = R1CSInstance(pp.ck1.commit(w1vec), cs1.inputs[1:])
+        # dispatch the witness commit asynchronously (device route):
+        # host cross-term work below overlaps the device MSM
+        with _tspan("commit_w1_dispatch"):
+            comm_w1_res = pp.ck1.commit_async(w1vec)
+        u1x = cs1.inputs[1:]
 
         # 4. fold u1 into U1[pc] (challenge binds pc)
         from ..native import r1cs as _nr
@@ -251,14 +254,16 @@ class SnCycleSNARK:
                     self._abc1[pc] = _nr.matvecs_pv(
                         shape1, z_vector(shape1, self.U1[pc].x,
                                          self.W1[pc].w, self.U1[pc].u))
-                z2 = z_vector(shape1, u1.x, w1vec, 1)
+                z2 = z_vector(shape1, u1x, w1vec, 1)
                 t1, abc2 = _nr.cross_term_cached(
                     shape1, self._abc1[pc], self.U1[pc].u, z2)
             else:
                 t1 = cross_term(shape1, self.U1[pc], self.W1[pc],
-                                u1.x, w1vec)
+                                u1x, w1vec)
         with _tspan("commit_t1"):
-            comm_t1 = pp.ck1.commit(t1)
+            comm_t1_res = pp.ck1.commit_async(t1)
+            u1 = R1CSInstance(comm_w1_res(), u1x)
+            comm_t1 = comm_t1_res()
         r1 = cycle_fold_challenge(pp.curve1, pp.pp_digest, self.U1[pc],
                                   u1, comm_t1, extra=(pc,))
         U1_next = list(self.U1)

@@ -278,6 +278,32 @@ class Store:
     def _hash_wave(self, arity: int, pres: List[List[int]]) -> List[int]:
         if not self.use_device or len(pres) < _DEVICE_WAVE_THRESHOLD:
             return [self.poseidon.hash(p) for p in pres]
+        if not getattr(self, "_mesh_broken", False):
+            # multi-device: shard the wave over the prover mesh (the
+            # store_core.rs:256-269 rayon-hydration analog, SURVEY §2.4;
+            # digest parity pinned by tests/test_parallel.py)
+            try:
+                import jax
+                from ..parallel.sharding import (
+                    prover_mesh, shard_hash_batch_ints,
+                )
+                mesh = prover_mesh()
+                # on the virtual CPU mesh the per-shard pallas kernel
+                # runs in interpret mode — only viable for small waves
+                # (bigger CPU waves take the native host path below)
+                if mesh is not None and (
+                        jax.default_backend() != "cpu"
+                        or len(pres) <= 256 * mesh.devices.size):
+                    return shard_hash_batch_ints(
+                        mesh, self.field, arity, pres)
+            except Exception:
+                import warnings
+                import traceback
+                self._mesh_broken = True
+                warnings.warn(
+                    "mesh hydration failed; falling back to the "
+                    "single-device wave path:\n"
+                    + traceback.format_exc(limit=3))
         import jax
         if jax.default_backend() == "cpu":
             # the XLA CPU compile of the batched kernel is pathological
