@@ -102,40 +102,48 @@ def test_sharded_msm_matches_host():
 def test_mesh_prover_real_lurk_fold():
     """THE REAL PROVER PATH ON THE MESH (SURVEY §2.4): with
     LURK_TPU_MESH active, hydration waves ride shard_hash_batch and
-    witness/cross-term commits ride the sharded MSM
-    (CommitmentKey._mesh_table) while folding one rc=2 Nova-cycle step
+    primary-curve commits ride the sharded MSM
+    (CommitmentKey._mesh_table) while folding one rc=1 Nova-cycle step
     of the ACTUAL augmented Lurk step circuit. Pins: proof verifies,
     proven output state matches the evaluation, and a mesh commit is
     bit-identical to the host Pippenger oracle.
 
-    Cold machines: run scripts/prewarm_cpu_kernels.py first (in-process
-    cache writes of the CPU mesh kernels are blocked by design)."""
+    Runs in a SUBPROCESS: XLA:CPU fits one mesh-MSM executable per
+    process and loading one late in the (JIT-heavy) suite process
+    segfaults (CLAUDE.md). Cold machines: run
+    scripts/prewarm_cpu_kernels.py first."""
     import os
-    from lurk_tpu.fields import PALLAS_SCALAR
-    from lurk_tpu.lem import evaluate
-    from lurk_tpu.parallel import sharding as SH
-    from lurk_tpu.parser import read_with_default_state
-    from lurk_tpu.proof.prover_cycle import CycleNovaProver
-    from lurk_tpu.store.core import Store
-
-    os.environ["LURK_TPU_MESH"] = "8"
-    SH._PROVER_MESH = "unset"
-    try:
-        store = Store(PALLAS_SCALAR)
-        expr = read_with_default_state(store, "(+ 1 (* 2 3))")
-        frames = evaluate(None, expr, store, 100)
-        prover = CycleNovaProver(rc=2, check_steps=True)
-        pp, proof = prover.prove_from_frames(store, frames[:2])
-        assert CycleNovaProver.verify(pp, proof)
-        out = store.hash_ptr(frames[1].output[0])
-        assert proof.zn[0] == out.tag and proof.zn[1] == out.digest
-        # mesh commit == host oracle, at prover scale
-        import random
-        r = random.Random(17)
-        vec = [r.randrange(pp.curve1.order) for _ in range(4096)]
-        got = pp.ck1.commit(vec)
-        want = pp.curve1.pippenger(vec, pp.ck1.gens[:4096])
-        assert got == want, "mesh commit != host pippenger"
-    finally:
-        os.environ.pop("LURK_TPU_MESH", None)
-        SH._PROVER_MESH = "unset"
+    import subprocess
+    import sys
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["LURK_TPU_MESH"] = "8"
+    flags = env.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    code = (
+        "import random\n"
+        "from lurk_tpu.fields import PALLAS_SCALAR\n"
+        "from lurk_tpu.lem import evaluate\n"
+        "from lurk_tpu.parser import read_with_default_state\n"
+        "from lurk_tpu.proof.prover_cycle import CycleNovaProver\n"
+        "from lurk_tpu.store.core import Store\n"
+        "store = Store(PALLAS_SCALAR)\n"
+        "expr = read_with_default_state(store, '(+ 1 2)')\n"
+        "frames = evaluate(None, expr, store, 100)\n"
+        "prover = CycleNovaProver(rc=1)\n"
+        "pp, proof = prover.prove_from_frames(store, frames[:1])\n"
+        "assert CycleNovaProver.verify(pp, proof)\n"
+        "out = store.hash_ptr(frames[0].output[0])\n"
+        "assert proof.zn[0] == out.tag and proof.zn[1] == out.digest\n"
+        "r = random.Random(17)\n"
+        "vec = [r.randrange(pp.curve1.order) for _ in range(4096)]\n"
+        "got = pp.ck1.commit(vec)\n"
+        "want = pp.curve1.pippenger(vec, pp.ck1.gens[:4096])\n"
+        "assert got == want, 'mesh commit != host pippenger'\n"
+        "print('MESH_FOLD_OK')\n")
+    res = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=3000)
+    assert "MESH_FOLD_OK" in res.stdout, res.stderr[-2000:]
