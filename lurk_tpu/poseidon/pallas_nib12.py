@@ -281,7 +281,10 @@ def build_pallas_nib12_hasher(field: FieldSpec, arity: int,
 
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def _hash_jit(field: FieldSpec, arity: int, tile: int, preimages):
-    return build_pallas_nib12_hasher(field, arity, tile)(preimages)
+    # raised vmem scope: the arity-8 hasher's scoped allocation is
+    # ~41 MB at tile 2048 (Mosaic's 16 MB default rejects it)
+    return build_pallas_nib12_hasher(field, arity, tile,
+                                     vmem_limit=100 << 20)(preimages)
 
 
 def hash_batch_pallas_nib12(field: FieldSpec, arity: int, preimages_ints,
