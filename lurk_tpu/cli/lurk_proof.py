@@ -118,7 +118,14 @@ def _spartan_to_json(sp) -> dict:
         "sc2": [[f"{v:x}" for v in row] for row in sp.sc2_polys],
         "w_eval": f"{sp.w_eval:x}",
     }
-    if sp.hkzg_w is not None:
+    if getattr(sp, "hkzg_joint", None) is not None:
+        j = sp.hkzg_joint
+        out["hkzg_joint"] = {
+            "comms": [[_pt(q) for q in cms] for cms in j.comms],
+            "evals": [[[f"{v:x}" for v in ev] for ev in evs]
+                      for evs in j.evals],
+            "w": _pt(j.w), "wp": _pt(j.wp)}
+    elif sp.hkzg_w is not None:
         out["hkzg_w"] = hkzg(sp.hkzg_w)
         out["hkzg_e"] = hkzg(sp.hkzg_e)
     else:
@@ -147,6 +154,15 @@ def _spartan_from_json(d: dict):
         tuple(int(v, 16) for v in d["claims"]),
         [[int(v, 16) for v in row] for row in d["sc2"]],
         int(d["w_eval"], 16)]
+    if "hkzg_joint" in d:
+        from ..proof.hyperkzg import HkzgBatchProof
+        v = d["hkzg_joint"]
+        joint = HkzgBatchProof(
+            [[_un_pt(q) for q in cms] for cms in v["comms"]],
+            [[tuple(int(x, 16) for x in ev) for ev in evs]
+             for evs in v["evals"]],
+            _un_pt(v["w"]), _un_pt(v["wp"]))
+        return SpartanProof(*base, None, None, None, None, joint)
     if "hkzg_w" in d:
         return SpartanProof(*base, None, None,
                             hkzg(d["hkzg_w"]), hkzg(d["hkzg_e"]))

@@ -352,9 +352,29 @@ def fe_select(mask, a: Fe, b: Fe) -> Fe:
 
 
 def to_mont_cols(ctx: Fe12Ctx, values) -> np.ndarray:
-    """python ints -> [22, n] int32 canonical Montgomery columns."""
-    arr = ctx.nf.from_ints([(int(v) << R_BITS) % ctx.p for v in values])
-    return arr.astype(np.int32)
+    """python ints -> [22, n] int32 canonical Montgomery columns.
+
+    Bulk path via fastpack + vectorized 12-bit digit extraction (the
+    per-value python limb loop cost ~40 s per 2^20-point table)."""
+    mont = [(int(v) << R_BITS) % ctx.p for v in values]
+    try:
+        from ..native import fastpack
+        buf = fastpack.pack_ints(mont)
+    except Exception:
+        return ctx.nf.from_ints(mont).astype(np.int32)
+    b = np.frombuffer(buf, dtype=np.uint8).reshape(len(mont), 32) \
+        .astype(np.int32)
+    cols = np.empty((L, len(mont)), dtype=np.int32)
+    for i in range(L):
+        off = LIMB_BITS * i
+        byte, sh = off // 8, off % 8
+        d = b[:, byte] >> sh
+        if byte + 1 < 32:
+            d = d | (b[:, byte + 1] << (8 - sh))
+        if sh > 4 and byte + 2 < 32:
+            d = d | (b[:, byte + 2] << (16 - sh))
+        cols[i] = d & LIMB_MASK
+    return cols
 
 
 def to_ints(arr: np.ndarray) -> list:

@@ -35,6 +35,8 @@ from __future__ import annotations
 import dataclasses
 import hashlib
 import json
+
+import numpy as np
 from typing import List, Optional, Sequence, Tuple
 
 from ..curves import pairing as pr
@@ -103,8 +105,23 @@ def _fixed_base_mul(table, c: int, k: int) -> Affine:
     return curve.jac_to_affine(acc)
 
 
+_SRS_MEM: dict = {}
+
+
 def load_srs(n: int) -> Srs:
-    """Powers-of-tau SRS, grown and cached on disk."""
+    """Powers-of-tau SRS, grown and cached on disk (and in memory:
+    compress re-opens call this 3+ times per proof, and unpacking 2^21
+    points from disk costs seconds each time)."""
+    for have, srs in _SRS_MEM.items():
+        if have >= n:
+            return srs
+    srs = _load_srs_disk(n)
+    _SRS_MEM.clear()
+    _SRS_MEM[len(srs.powers)] = srs
+    return srs
+
+
+def _load_srs_disk(n: int) -> Srs:
     import fcntl
     from .params_cache import (_atomic_write, _gens_from_bytes,
                                _gens_to_bytes, cache_dir)
@@ -316,4 +333,253 @@ def verify(srs: Srs, comm: Affine, point: Sequence[int], value: int,
     return pr.pairing_product_is_one([
         (agg_c, srs.g2),
         (CURVE.neg(agg_w) if agg_w else None, srs.tau_g2),
+    ])
+
+
+# ---------------------------------------------------------------------------
+# Joint Shplonk (BDFG20) batch opening
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class HkzgBatchProof:
+    """Joint opening of several MLEs: per-claim Gemini fold chains
+    share ONE evaluation point set S = {r, -r, r^2}; all chain polys
+    batch (gamma powers) into one f whose combined quotient
+    h = (f - r_f)/Z_S commits as W, opened at a fresh challenge u via
+    W' (BDFG20 with only [tau]_2 in the SRS). TWO size-n MSMs replace
+    the 3-per-claim quotients — the compress-path prover is MSM-bound
+    (PERF.md r5: kzg_open was 39 s of the 59 s compress)."""
+
+    comms: List[List[Affine]]
+    evals: List[List[Tuple[int, int, int]]]
+    w: Affine
+    wp: Affine
+
+
+def _interp3(zs, fs, q):
+    """Degree-<=2 Lagrange interpolation -> coefficients [c0,c1,c2]."""
+    c = [0, 0, 0]
+    for i in range(3):
+        zi = zs[i]
+        others = [zs[j] for j in range(3) if j != i]
+        denom = 1
+        for zo in others:
+            denom = denom * (zi - zo) % q
+        scale = fs[i] * pow(denom, q - 2, q) % q
+        # (X - a)(X - b) = X^2 - (a+b)X + ab
+        a, b = others
+        c[0] = (c[0] + scale * (a * b % q)) % q
+        c[1] = (c[1] - scale * ((a + b) % q)) % q
+        c[2] = (c[2] + scale) % q
+    return c
+
+
+def _zs_coeffs(zs, q):
+    z0, z1, z2 = zs
+    s1 = (z0 + z1 + z2) % q
+    s2 = (z0 * z1 + z0 * z2 + z1 * z2) % q
+    s3 = z0 * z1 * z2 % q
+    return [(-s3) % q, s2, (-s1) % q, 1]     # X^3 - s1 X^2 + s2 X - s3
+
+
+def _fold_chain(poly, point, q):
+    from ..native import spartan as nsc
+    from ..native.r1cs import PackedVec
+    n = len(poly)
+    k = n.bit_length() - 1
+    assert n == 1 << k and len(point) == k
+    xs = [v % q for v in reversed(point)]
+    if nsc.available():
+        pvs = [PackedVec.pack([v % q for v in poly]
+                              if not isinstance(poly, PackedVec)
+                              else poly, q)]
+        for i in range(k - 1):
+            prev = pvs[-1]
+            cp = PackedVec(prev.arr.copy(), prev.n, q)
+            pvs.append(nsc.bind_eo(cp, xs[i]))
+        return pvs
+    polys = [[v % q for v in poly]]
+    for i in range(k - 1):
+        prev = polys[-1]
+        x = xs[i]
+        polys.append([(prev[2 * j] + x * (prev[2 * j + 1] - prev[2 * j]))
+                      % q for j in range(len(prev) // 2)])
+    return polys
+
+
+def prove_batch(srs: Srs, opens, tr: Transcript) -> HkzgBatchProof:
+    """opens: list of (poly, point) — poly a 2^k evaluation vector
+    (list or PackedVec), point length-k (mle_eval convention)."""
+    q = CURVE.order
+    from ..native import spartan as nsc
+    from ..native.r1cs import PackedVec
+    native = nsc.available()
+    chains = []
+    comms: List[List[Affine]] = []
+    for poly, point in opens:
+        ch = _fold_chain(poly, point, q)
+        cms = [_msm(pv, srs.powers, srs) for pv in ch[1:]]
+        for cm in cms:
+            tr.absorb_point(cm)
+        chains.append(ch)
+        comms.append(cms)
+    r = tr.squeeze() % q or 1
+    zs = (r, (-r) % q, r * r % q)
+    evals = []
+    for ch in chains:
+        evs = [tuple((nsc.poly_eval(pv, z) if native
+                      else _poly_eval(pv, z, q)) for z in zs)
+               for pv in ch]
+        for ev in evs:
+            for v in ev:
+                tr.absorb_scalar(v)
+        evals.append(evs)
+    gamma = tr.squeeze() % q
+
+    n_max = max(len(ch[0]) for ch in chains)
+    # batched f = sum over all chain polys of gamma^c * poly; batched
+    # evals at each z accumulate the same weights
+    f_evals = [0, 0, 0]
+    g = 1
+    if native:
+        barr = np.zeros(4 * n_max, dtype=np.uint64)
+        from ..native import r1cs as nr
+        for ci, ch in enumerate(chains):
+            for pi, pv in enumerate(ch):
+                pref = PackedVec(barr[:4 * pv.n], pv.n, q)
+                out = nr.vec_rlc_pv(q, pref, pv, g)
+                barr[:4 * pv.n] = out.arr
+                for j in range(3):
+                    f_evals[j] = (f_evals[j]
+                                  + g * evals[ci][pi][j]) % q
+                g = g * gamma % q
+        batched = PackedVec(barr, n_max, q)
+    else:
+        blist = [0] * n_max
+        for ci, ch in enumerate(chains):
+            for pi, pl in enumerate(ch):
+                for i, c in enumerate(pl):
+                    blist[i] = (blist[i] + g * c) % q
+                for j in range(3):
+                    f_evals[j] = (f_evals[j]
+                                  + g * evals[ci][pi][j]) % q
+                g = g * gamma % q
+        batched = blist
+
+    rf = _interp3(zs, f_evals, q)
+    # h = (f - r_f) / (X-z0)(X-z1)(X-z2): subtract then divide thrice
+    if native:
+        from ..native import r1cs as nr
+        garr = batched.arr.copy()
+        pref = PackedVec(garr[:4 * 3], 3, q)
+        out = nr.vec_rlc_pv(q, pref, PackedVec.pack(rf, q), q - 1)
+        garr[:4 * 3] = out.arr
+        h = PackedVec(garr, n_max, q)
+        for z in zs:
+            h = nsc.poly_quotient(h, z)
+    else:
+        h = list(batched)
+        for i in range(3):
+            h[i] = (h[i] - rf[i]) % q
+        for z in zs:
+            h = _quotient(h, z, q)
+    w_cm = _msm(h, srs.powers, srs)
+    tr.absorb_point(w_cm)
+    u = tr.squeeze() % q
+    zc = _zs_coeffs(zs, q)
+    zu = sum(c * pow(u, i, q) for i, c in enumerate(zc)) % q
+    ru = (rf[0] + rf[1] * u + rf[2] * u * u) % q
+    if native:
+        from ..native import r1cs as nr
+        larr = batched.arr.copy()
+        pref = PackedVec(larr[:4], 1, q)
+        out = nr.vec_rlc_pv(q, pref, PackedVec.pack([ru], q), q - 1)
+        larr[:4] = out.arr
+        hn = len(h)
+        pref = PackedVec(larr[:4 * hn], hn, q)
+        out = nr.vec_rlc_pv(q, pref, h, (q - zu) % q)
+        larr[:4 * hn] = out.arr
+        lpv = PackedVec(larr, n_max, q)
+        wp_poly = nsc.poly_quotient(lpv, u)
+    else:
+        lpoly = list(batched)
+        lpoly[0] = (lpoly[0] - ru) % q
+        for i, c in enumerate(h):
+            lpoly[i] = (lpoly[i] - zu * c) % q
+        wp_poly = _quotient(lpoly, u, q)
+    wp_cm = _msm(wp_poly, srs.powers, srs)
+    tr.absorb_point(wp_cm)
+    tr.squeeze()
+    return HkzgBatchProof(comms, evals, w_cm, wp_cm)
+
+
+def verify_batch(srs: Srs, claims, proof: HkzgBatchProof,
+                 tr: Transcript) -> bool:
+    """claims: list of (comm, point, value) matching prove_batch's
+    opens (comm may be None = identity)."""
+    q = CURVE.order
+    if len(proof.comms) != len(claims) or \
+            len(proof.evals) != len(claims):
+        return False
+    for ci, (comm, point, value) in enumerate(claims):
+        k = len(point)
+        if len(proof.comms[ci]) != k - 1 or \
+                len(proof.evals[ci]) != k:
+            return False
+        for cm in proof.comms[ci]:
+            tr.absorb_point(cm)
+    r = tr.squeeze() % q or 1
+    zs = (r, (-r) % q, r * r % q)
+    for ci, (comm, point, value) in enumerate(claims):
+        for ev in proof.evals[ci]:
+            if len(ev) != 3:
+                return False
+            for v in ev:
+                tr.absorb_scalar(v)
+    gamma = tr.squeeze() % q
+    inv2 = pow(2, q - 2, q)
+    inv2r = pow(2 * r % q, q - 2, q)
+    for ci, (comm, point, value) in enumerate(claims):
+        xs = [v % q for v in reversed(point)]
+        k = len(point)
+        for i in range(k):
+            er, enr, _ = proof.evals[ci][i]
+            nxt = ((1 - xs[i]) * (er + enr) % q * inv2 +
+                   xs[i] * (er - enr) % q * inv2r) % q
+            want = (proof.evals[ci][i + 1][2] if i + 1 < k
+                    else value % q)
+            if nxt != want:
+                return False
+    # batched commitment + evals with the same global gamma stream
+    g = 1
+    cf: Affine = None
+    f_evals = [0, 0, 0]
+    for ci, (comm, point, value) in enumerate(claims):
+        chain_comms = [comm] + list(proof.comms[ci])
+        for pi, cm in enumerate(chain_comms):
+            if cm is not None:
+                cf = CURVE.add(cf, CURVE.mul(g, cm))
+            for j in range(3):
+                f_evals[j] = (f_evals[j]
+                              + g * proof.evals[ci][pi][j]) % q
+            g = g * gamma % q
+    rf = _interp3(zs, f_evals, q)
+    tr.absorb_point(proof.w)
+    u = tr.squeeze() % q
+    zc = _zs_coeffs(zs, q)
+    zu = sum(c * pow(u, i, q) for i, c in enumerate(zc)) % q
+    ru = (rf[0] + rf[1] * u + rf[2] * u * u) % q
+    tr.absorb_point(proof.wp)
+    tr.squeeze()
+    # C_L = C_f - [r_f(u)]G - Z(u) W;  e(C_L + u W', G2) e(-W', tauG2)=1
+    cl = CURVE.add(cf, CURVE.neg(CURVE.mul(ru, CURVE.generator)))
+    if proof.w is not None:
+        cl = CURVE.add(cl, CURVE.neg(CURVE.mul(zu, proof.w)))
+    lhs = CURVE.add(cl, CURVE.mul(u, proof.wp)
+                    if proof.wp is not None else None)
+    return pr.pairing_product_is_one([
+        (lhs, srs.g2),
+        (CURVE.neg(proof.wp) if proof.wp is not None else None,
+         srs.tau_g2),
     ])

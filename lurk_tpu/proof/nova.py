@@ -127,6 +127,30 @@ class CommitmentKey:
                 object.__setattr__(self, "_mesh_tab", tab)
         return tab or None
 
+    def _route_path(self):
+        from .params_cache import cache_dir
+        return cache_dir() / (
+            f"msm_route_v1_{self.curve.name}_{len(self.gens)}.txt")
+
+    def _load_route(self):
+        """Disk-cached race outcome: without it every prover process
+        would pay the ~60-80 s device warmup (table build + upload +
+        executable load) just to decide the route. Delete the file (or
+        set LURK_TPU_DEVICE_COMMITS) to re-race after a hardware
+        change."""
+        try:
+            v = self._route_path().read_text().strip()
+            return v if v in ("device", "host") else None
+        except Exception:
+            return None
+
+    def _store_route(self, route: str) -> None:
+        try:
+            self._route_path().parent.mkdir(parents=True, exist_ok=True)
+            self._route_path().write_text(route)
+        except Exception:
+            pass
+
     def _race_routes(self, tab, vec) -> str:
         """Time one real commit each way; both results must agree
         (doubles as a device-parity check at prover scale)."""
@@ -134,6 +158,10 @@ class CommitmentKey:
         from ..msm import ec12 as E12
         from ..msm.device_v2 import _unflat
         from ..native import msm as nmsm
+        # untimed warmup: executable load + first-dispatch costs are
+        # one-time and must not bias the steady-state route choice
+        E12.pt_from_device(self.curve,
+                           _unflat(self.curve, tab.msm_async(vec)))
         t0 = time.perf_counter()
         out = tab.msm_async(vec)
         dev_pt = E12.pt_from_device(self.curve,
@@ -191,19 +219,26 @@ class CommitmentKey:
         _flag = os.environ.get("LURK_TPU_DEVICE_COMMITS", "")
         tab = None
         if n >= 65536 and _flag != "0":
-            tab = self._device_table()
-            if tab is not None and _flag != "1":
-                # first big commit on this key: race device vs host once
-                # and remember the winner at this size class (the
-                # "routes automatically when the device benches faster"
-                # contract; tunnel RTT and host-core contention make a
-                # static threshold wrong on both sides)
+            if _flag == "1":
+                tab = self._device_table()
+            else:
+                # first big commit on this key: race device vs host
+                # once and remember the winner (disk-cached — the
+                # "routes automatically when the device benches
+                # faster" contract; tunnel RTT and host-core
+                # contention make a static threshold wrong both ways).
+                # A cached "host" route skips the device table build
+                # (~15 s + 277 MB upload) entirely.
                 route = getattr(self, "_route", None)
                 if route is None:
-                    route = self._race_routes(tab, list(vec))
-                    object.__setattr__(self, "_route", route)
-                if route != "device":
-                    tab = None
+                    route = self._load_route()
+                if route is None:
+                    tab = self._device_table()
+                    route = (self._race_routes(tab, list(vec))
+                             if tab is not None else "host")
+                    self._store_route(route)
+                object.__setattr__(self, "_route", route)
+                tab = self._device_table() if route == "device" else None
         if tab is not None:
             from ..msm import ec12 as E12
             from ..msm.device_v2 import _unflat

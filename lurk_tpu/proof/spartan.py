@@ -57,9 +57,12 @@ class SpartanProof:
     ipa_w: Optional[ipa.IpaProof]
     ipa_e: Optional[ipa.IpaProof]
     # BN254's engine (nova.rs:56-71 Bn256EngineKZG): pairing-verified
-    # HyperKZG openings instead of IPA
+    # HyperKZG openings instead of IPA. r5: W and E open JOINTLY via
+    # the Shplonk batch argument (hkzg_joint, 2 MSMs total); the
+    # separate hkzg_w/hkzg_e fields remain readable for old proofs.
     hkzg_w: Optional[object] = None
     hkzg_e: Optional[object] = None
+    hkzg_joint: Optional[object] = None
 
 
 def _uses_kzg(pp: PublicParams) -> bool:
@@ -106,6 +109,7 @@ def _transcript(pp: PublicParams, inst: RelaxedInstance) -> Transcript:
 
 def prove(pp: PublicParams, inst: RelaxedInstance,
           wit: RelaxedWitness) -> SpartanProof:
+    from ..utils.tracing import span as _span
     shape = pp.shape
     p = shape.p
     n_half, m_pad = _dims(shape)
@@ -139,9 +143,10 @@ def prove(pp: PublicParams, inst: RelaxedInstance,
         return tr.squeeze() % p
 
     if use_native:
-        sc1_polys, rx, finals1 = native_sc.sumcheck1(
-            eq_tau, az, bz, cz, e_vec, u, p, chal)
-    else:
+        with _span("spartan.sumcheck1"):
+            sc1_polys, rx, finals1 = native_sc.sumcheck1(
+                eq_tau, az, bz, cz, e_vec, u, p, chal)
+    elif True:
         sc1_polys, rx, finals1 = sumcheck_prove(
             0, s_x, [eq_tau, az, bz, cz, e_vec], comb1, 3, p, chal)
     _, az_r, bz_r, cz_r, e_r = finals1
@@ -152,9 +157,10 @@ def prove(pp: PublicParams, inst: RelaxedInstance,
     # M = (A + r B + r^2 C)^T chi(rx) over the split-z domain
     r2 = r * r % p
     if use_native:
-        chi_rx = native_sc.chi_table(rx, p)
-        m_vec = native_sc.spartan_mvec(shape, chi_rx, r, n_half)
-    else:
+        with _span("spartan.mvec"):
+            chi_rx = native_sc.chi_table(rx, p)
+            m_vec = native_sc.spartan_mvec(shape, chi_rx, r, n_half)
+    elif True:
         chi_rx = chi_table(rx, p)
         m_vec = [0] * (2 * n_half)
         for i, (a_lc, b_lc, c_lc) in enumerate(shape.rows):
@@ -180,9 +186,10 @@ def prove(pp: PublicParams, inst: RelaxedInstance,
         return vals[0] * vals[1] % p
 
     if use_native:
-        sc2_polys, ry, _finals2 = native_sc.sumcheck2(
-            m_vec, z_split, p, chal)
-    else:
+        with _span("spartan.sumcheck2"):
+            sc2_polys, ry, _finals2 = native_sc.sumcheck2(
+                m_vec, z_split, p, chal)
+    elif True:
         sc2_polys, ry, _finals2 = sumcheck_prove(
             claim2, s_y, [m_vec, z_split], comb2, 2, p, chal)
 
@@ -197,16 +204,18 @@ def prove(pp: PublicParams, inst: RelaxedInstance,
 
     if _uses_kzg(pp):
         from . import hyperkzg as hk
-        srs = hk.load_srs(max(n_half, m_pad))
-        hkzg_w = hk.prove(srs, w_padded, ry[1:], tr)
-        hkzg_e = hk.prove(srs, e_vec, rx, tr)
+        with _span("spartan.kzg_open"):
+            srs = hk.load_srs(max(n_half, m_pad))
+            joint = hk.prove_batch(
+                srs, [(w_padded, ry[1:]), (e_vec, rx)], tr)
         return SpartanProof(sc1_polys, (az_r, bz_r, cz_r, e_r),
                             sc2_polys, w_eval, None, None,
-                            hkzg_w, hkzg_e)
-    ipa_w = ipa.prove(pp.curve, pp.ck.gens, inst.comm_w, w_padded,
-                      chi_table(ry[1:], p), w_eval, tr)
-    ipa_e = ipa.prove(pp.curve, pp.ck.gens, inst.comm_e, e_vec,
-                      chi_rx, e_r, tr)
+                            None, None, joint)
+    with _span("spartan.ipa_open"):
+        ipa_w = ipa.prove(pp.curve, pp.ck.gens, inst.comm_w, w_padded,
+                          chi_table(ry[1:], p), w_eval, tr)
+        ipa_e = ipa.prove(pp.curve, pp.ck.gens, inst.comm_e, e_vec,
+                          chi_rx, e_r, tr)
     return SpartanProof(sc1_polys, (az_r, bz_r, cz_r, e_r), sc2_polys,
                         w_eval, ipa_w, ipa_e)
 
@@ -275,9 +284,14 @@ def verify(pp: PublicParams, inst: RelaxedInstance,
     tr.absorb_scalar(w_eval)
     if _uses_kzg(pp):
         from . import hyperkzg as hk
+        srs = hk.load_srs(max(n_half, m_pad))
+        if getattr(proof, "hkzg_joint", None) is not None:
+            return hk.verify_batch(
+                srs, [(inst.comm_w, ry[1:], w_eval),
+                      (inst.comm_e, rx, e_r)],
+                proof.hkzg_joint, tr)
         if proof.hkzg_w is None or proof.hkzg_e is None:
             return False
-        srs = hk.load_srs(max(n_half, m_pad))
         if not hk.verify(srs, inst.comm_w, ry[1:], w_eval,
                          proof.hkzg_w, tr):
             return False

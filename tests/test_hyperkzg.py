@@ -82,8 +82,42 @@ def test_spartan_bn256_kzg_roundtrip():
     rs.zi = [0] * (pp.shape.num_inputs - 1)
     proof = rs.finish()
     comp = spartan.compress(pp, proof)
-    assert comp.spartan.hkzg_w is not None and comp.spartan.ipa_w is None
+    assert comp.spartan.hkzg_joint is not None and comp.spartan.ipa_w is None
     assert spartan.verify_compressed(pp, comp)
     comp.spartan.claims = ((comp.spartan.claims[0] + 1) % pp.shape.p,
                            *comp.spartan.claims[1:])
     assert not spartan.verify_compressed(pp, comp)
+
+
+def test_batch_shplonk_opening():
+    """Joint Shplonk (BDFG20) opening: several MLEs of different sizes
+    open with TWO MSMs total; tampered values/quotients rejected."""
+    import dataclasses as dc
+    import random
+    from lurk_tpu.proof import hyperkzg as hk
+    from lurk_tpu.proof.mle import mle_eval
+    from lurk_tpu.proof.transcript import Transcript
+
+    q = hk.CURVE.order
+    r = random.Random(4)
+    srs = hk.load_srs(64)
+
+    def T():
+        return Transcript(hk.CURVE, b"batch.test")
+
+    opens, claims = [], []
+    for k in (4, 5):
+        poly = [r.randrange(q) for _ in range(1 << k)]
+        point = [r.randrange(q) for _ in range(k)]
+        opens.append((poly, point))
+        claims.append((hk._msm(poly, srs.powers, srs), point,
+                       mle_eval(poly, point, q)))
+    proof = hk.prove_batch(srs, opens, T())
+    assert hk.verify_batch(srs, claims, proof, T())
+    bad = [(claims[0][0], claims[0][1], (claims[0][2] + 1) % q)] \
+        + claims[1:]
+    assert not hk.verify_batch(srs, bad, proof, T())
+    assert not hk.verify_batch(
+        srs, claims, dc.replace(proof, w=hk.CURVE.generator), T())
+    assert not hk.verify_batch(
+        srs, claims, dc.replace(proof, wp=hk.CURVE.generator), T())
