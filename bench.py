@@ -25,6 +25,16 @@ def _candidates(arity):
     through to the next."""
     from lurk_tpu.fields import PALLAS_SCALAR
 
+    def nib12_opt():
+        # 7th-gen sparse-partial-round kernel (pallas_nib12_opt.py):
+        # partial rounds contract element 0's planes only (~2.8x fewer
+        # MXU MACs on rp rounds; 1.96M/s on v5e, +6% over nib12)
+        from lurk_tpu.poseidon.pallas_nib12_opt import (
+            build_pallas_nib12_opt_hasher,
+        )
+        return jax.jit(build_pallas_nib12_opt_hasher(
+            PALLAS_SCALAR, arity, 2048, vmem_limit=100 << 20))
+
     def nib12():
         # 6th-gen 12-bit-limb kernel (pallas_nib12.py): split-free
         # squares + Kogge-Stone-free normalize (1.82M/s on v5e)
@@ -64,7 +74,7 @@ def _candidates(arity):
         from lurk_tpu.poseidon.pallas_mxu import build_pallas_mxu_hasher
         return jax.jit(build_pallas_mxu_hasher(PALLAS_SCALAR, arity, 512))
 
-    return [nib12, nib, opt, opt_small, base]
+    return [nib12_opt, nib12, nib, opt, opt_small, base]
 
 
 def _check(hasher, arr, x, f, field, arity) -> bool:

@@ -313,6 +313,24 @@ class Store:
             if npos.available():
                 return npos.hash_batch(self.field, arity, pres)
             return [self.poseidon.hash(p) for p in pres]
+        if not getattr(self, "_nib12_opt_broken", False):
+            try:
+                # 7th-gen sparse-partial-round kernel (pallas_nib12_opt,
+                # ~1.96M/s on v5e, +6% over nib12); digest parity pinned
+                # by tests/test_pallas_nib.py. Falls back on Mosaic
+                # regressions.
+                from ..poseidon.pallas_nib12_opt import (
+                    hash_batch_pallas_nib12_opt,
+                )
+                return hash_batch_pallas_nib12_opt(self.field, arity, pres)
+            except Exception:
+                import warnings
+                import traceback
+                self._nib12_opt_broken = True
+                warnings.warn(
+                    "pallas_nib12_opt kernel failed; falling back to the "
+                    "6th-gen kernel for this store:\n"
+                    + traceback.format_exc(limit=3))
         if not getattr(self, "_nib12_broken", False):
             try:
                 # 6th-gen 12-bit nibble kernel (pallas_nib12, 1.9M/s on
