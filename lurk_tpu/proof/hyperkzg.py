@@ -140,11 +140,25 @@ def _load_srs_disk(n: int) -> Srs:
             else:
                 powers = _gens_from_bytes(path.read_bytes(), have)
         if len(powers) < n:
-            table, c = _fixed_base_mul_table(CURVE.generator)
-            t_pow = pow(tau, len(powers), CURVE.order)
-            for _ in range(len(powers), n):
-                powers.append(_fixed_base_mul(table, c, t_pow))
-                t_pow = t_pow * tau % CURVE.order
+            from ..native import srs as nsrs
+            start = len(powers)
+            got = (nsrs.srs_powers(CURVE, tau, start, n - start)
+                   if nsrs.available() else None)
+            if got is not None:
+                # spot-check the native batch against the python
+                # fixed-base oracle before trusting 2^21 points
+                table, c = _fixed_base_mul_table(CURVE.generator)
+                for probe in {0, len(got) // 2, len(got) - 1}:
+                    expect = _fixed_base_mul(
+                        table, c, pow(tau, start + probe, CURVE.order))
+                    assert got[probe] == expect, "native SRS mismatch"
+                powers.extend(got)
+            else:
+                table, c = _fixed_base_mul_table(CURVE.generator)
+                t_pow = pow(tau, len(powers), CURVE.order)
+                for _ in range(len(powers), n):
+                    powers.append(_fixed_base_mul(table, c, t_pow))
+                    t_pow = t_pow * tau % CURVE.order
             _atomic_write(path, _gens_to_bytes(powers))
             _atomic_write(meta_path,
                           json.dumps({"n": len(powers)}).encode())
