@@ -82,23 +82,31 @@ def _algo() -> int:
 
 
 def msm(curve: Curve, scalars: Sequence[int], points: Sequence[Affine],
-        c: Optional[int] = None, n_threads: Optional[int] = None
-        ) -> Affine:
+        c: Optional[int] = None, n_threads: Optional[int] = None,
+        algo: Optional[int] = None) -> Affine:
     """Native Pippenger MSM; bit-exact vs Curve.pippenger."""
-    return msm_packed(curve, scalars, pack_points(points), c, n_threads)
+    return msm_packed(curve, scalars, pack_points(points), c, n_threads,
+                      algo)
 
 
 def msm_packed(curve: Curve, scalars: Sequence[int], packed: np.ndarray,
-               c: Optional[int] = None, n_threads: Optional[int] = None
-               ) -> Affine:
+               c: Optional[int] = None, n_threads: Optional[int] = None,
+               algo: Optional[int] = None) -> Affine:
     lib = load("msm")
     assert lib is not None, "native msm unavailable"
     n = len(scalars)
     assert n <= packed.shape[0]
     if n == 0:
         return None
+    if algo is None:
+        algo = _algo()
     if c is None:
-        c = _default_c(n)
+        if n < 32:
+            c = 3
+        elif algo == 1:
+            c = min(16, max(4, int(math.log2(n)) - 5))
+        else:
+            c = min(16, max(4, int(math.log2(n)) - 2))
     if n_threads is None:
         n_threads = min(32, os.cpu_count() or 1)
     mod = np.asarray(_to_limbs(curve.p), dtype=np.uint64)
@@ -111,7 +119,6 @@ def msm_packed(curve: Curve, scalars: Sequence[int], packed: np.ndarray,
         scs = _pack_scalars(scalars, curve.order)
     out = np.zeros(12, dtype=np.uint64)
     u64p = ctypes.POINTER(ctypes.c_uint64)
-    algo = _algo()
     lib.lurk_msm_ex(
         mod.ctypes.data_as(u64p), r2.ctypes.data_as(u64p),
         pts.ctypes.data_as(u64p), scs.ctypes.data_as(u64p),

@@ -173,7 +173,11 @@ def _load_srs_disk(n: int) -> Srs:
 def _msm(scalars: Sequence[int], points: Sequence[Affine],
          srs: Optional[Srs] = None) -> Affine:
     from ..native import msm as nmsm
-    scalars = list(scalars)
+    from ..native.r1cs import PackedVec
+    if not isinstance(scalars, PackedVec):
+        # keep PackedVec packed: msm_packed reads .arr directly, and a
+        # list() round-trip costs ~0.5 s per 2^21-size chain commit
+        scalars = list(scalars)
     if len(scalars) >= 64 and nmsm.available():
         if srs is not None and srs.powers is points:
             packed = srs.packed()

@@ -239,12 +239,21 @@ def _side_pp(pp: CyclePublicParams, which: int) -> PublicParams:
 
 def compress_cycle(pp: CyclePublicParams, proof: CycleProof
                    ) -> CompressedCycleProof:
-    sp1 = spartan.prove(_side_pp(pp, 1), proof.u1, proof.w1)
-    r2 = cycle_fold_challenge(pp.curve2, pp.pp_digest, proof.u2,
-                              proof.u2_pending, proof.comm_t_last)
-    u2f = fold_instance(pp.curve2, proof.u2, proof.u2_pending,
-                        proof.comm_t_last, r2, pp.field2.modulus)
-    sp2 = spartan.prove(_side_pp(pp, 2), u2f, proof.w2_folded)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _secondary():
+        # independent proof (own transcript); overlaps the primary's
+        # KZG MSMs on otherwise-idle cores (native calls drop the GIL)
+        r2 = cycle_fold_challenge(pp.curve2, pp.pp_digest, proof.u2,
+                                  proof.u2_pending, proof.comm_t_last)
+        u2f = fold_instance(pp.curve2, proof.u2, proof.u2_pending,
+                            proof.comm_t_last, r2, pp.field2.modulus)
+        return spartan.prove(_side_pp(pp, 2), u2f, proof.w2_folded)
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut2 = ex.submit(_secondary)
+        sp1 = spartan.prove(_side_pp(pp, 1), proof.u1, proof.w1)
+        sp2 = fut2.result()
     return CompressedCycleProof(proof.n, list(proof.z0), list(proof.zn),
                                 proof.u1, proof.u2, proof.u2_pending,
                                 proof.comm_t_last, sp1, sp2)

@@ -202,17 +202,28 @@ def _side_pp2(pp: SnCyclePublicParams):
 
 def compress_sn_cycle(pp: SnCyclePublicParams, proof: SnCycleProof
                       ) -> CompressedSnCycleProof:
+    from concurrent.futures import ThreadPoolExecutor
+
     from . import spartan
     from .nova import fold_instance
     from .nova_cycle import cycle_fold_challenge
-    spartans1 = [spartan.prove(_side_pp1(pp, pc), proof.u1s[pc],
-                               proof.w1s[pc])
-                 for pc in range(pp.n_circuits)]
-    r2 = cycle_fold_challenge(pp.curve2, pp.pp_digest, proof.u2,
-                              proof.u2_pending, proof.comm_t_last)
-    u2f = fold_instance(pp.curve2, proof.u2, proof.u2_pending,
-                        proof.comm_t_last, r2, pp.field2.modulus)
-    sp2 = spartan.prove(_side_pp2(pp), u2f, proof.w2_folded)
+
+    def _secondary():
+        # independent proof (own transcript); the native sumcheck/IPA
+        # calls release the GIL, so it overlaps the primary's
+        # KZG MSMs on otherwise-idle cores
+        r2 = cycle_fold_challenge(pp.curve2, pp.pp_digest, proof.u2,
+                                  proof.u2_pending, proof.comm_t_last)
+        u2f = fold_instance(pp.curve2, proof.u2, proof.u2_pending,
+                            proof.comm_t_last, r2, pp.field2.modulus)
+        return spartan.prove(_side_pp2(pp), u2f, proof.w2_folded)
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut2 = ex.submit(_secondary)
+        spartans1 = [spartan.prove(_side_pp1(pp, pc), proof.u1s[pc],
+                                   proof.w1s[pc])
+                     for pc in range(pp.n_circuits)]
+        sp2 = fut2.result()
     return CompressedSnCycleProof(
         proof.n, list(proof.z0), list(proof.zn), proof.pc_n,
         list(proof.u1s), proof.u2, proof.u2_pending, proof.comm_t_last,
