@@ -17,11 +17,13 @@ import ctypes
 import hashlib
 import os
 import subprocess
+import threading
 from pathlib import Path
 from typing import Optional
 
 _SRC_DIR = Path(__file__).parent
 _LIBS: dict = {}
+_LOAD_LOCK = threading.Lock()
 
 
 def _cache_dir() -> Path:
@@ -35,29 +37,46 @@ def _cache_dir() -> Path:
 
 def load(name: str) -> Optional[ctypes.CDLL]:
     """Compile (cached by source hash) and load lurk_tpu/native/<name>.cpp.
-    Returns None if no C++ toolchain is available."""
-    if name in _LIBS:
-        return _LIBS[name]
-    src = _SRC_DIR / f"{name}.cpp"
-    code = src.read_bytes()
-    for hdr in sorted(_SRC_DIR.glob("*.h")):
-        code += hdr.read_bytes()
-    tag = hashlib.sha256(code).hexdigest()[:16]
-    so = _cache_dir() / f"{name}-{tag}.so"
-    if not so.exists():
-        tmp = so.with_suffix(".so.tmp")
-        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-               "-std=c++17", "-pthread", str(src), "-o", str(tmp)]
+    Returns None if no C++ toolchain is available.
+
+    Thread/process-safe: concurrent callers (e.g. the threaded
+    compress proving both spartan sides at once, or parallel pytest
+    processes sharing a cache dir) compile to a caller-unique tmp and
+    atomically os.replace into place — the first replace wins, the
+    rest are byte-identical."""
+    with _LOAD_LOCK:
+        if name in _LIBS:
+            return _LIBS[name]
+        src = _SRC_DIR / f"{name}.cpp"
+        code = src.read_bytes()
+        for hdr in sorted(_SRC_DIR.glob("*.h")):
+            code += hdr.read_bytes()
+        tag = hashlib.sha256(code).hexdigest()[:16]
+        so = _cache_dir() / f"{name}-{tag}.so"
+        if not so.exists():
+            tmp = so.with_suffix(
+                f".{os.getpid()}.{threading.get_ident()}.tmp")
+            cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                   "-std=c++17", "-pthread", str(src), "-o", str(tmp)]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True,
+                               timeout=300)
+                os.replace(tmp, so)
+            except (OSError, subprocess.SubprocessError):
+                # another process may have won the compile race and
+                # installed the identical .so; only fail if absent
+                if not so.exists():
+                    _LIBS[name] = None
+                    return None
+            finally:
+                try:
+                    if tmp.exists():
+                        tmp.unlink()
+                except OSError:
+                    pass
         try:
-            subprocess.run(cmd, check=True, capture_output=True,
-                           timeout=300)
-        except (OSError, subprocess.SubprocessError):
-            _LIBS[name] = None
-            return None
-        os.replace(tmp, so)
-    try:
-        lib = ctypes.CDLL(str(so))
-    except OSError:
-        lib = None
-    _LIBS[name] = lib
-    return lib
+            lib = ctypes.CDLL(str(so))
+        except OSError:
+            lib = None
+        _LIBS[name] = lib
+        return lib
